@@ -1,0 +1,254 @@
+"""Config system: one dataclass + flag-compatible argparse shims.
+
+The reference threads a mutated argparse ``opt`` namespace everywhere
+(train_video.py:262-374).  Here the same flag surface (names, defaults,
+semantics — train_video.py:262-321, train_image.py:276-333,
+train_video_baselines.py:216-250) parses into a single ``Config`` dataclass;
+derived pyramid/runtime fields live in explicit attributes instead of ad-hoc
+namespace mutation.  ``Config`` is intentionally a plain mutable dataclass so
+trainers can attach run state the same way users of the reference expect
+(drop-in "opt" object), but all *compute* functions take explicit arguments.
+
+TPU-specific additions (not in the reference) are grouped at the bottom:
+``bf16``, ``mesh_shape``, ``spmd``.  ``--no-cuda`` is kept verbatim and means
+"don't use the accelerator" (maps to forcing the CPU backend).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+from .pyramid import Pyramid
+
+__all__ = ["Config", "build_parser", "config_from_args"]
+
+
+@dataclasses.dataclass
+class Config:
+    # load / input / save
+    netG: str = ""
+    netD: str = ""
+    manualSeed: Optional[int] = None
+
+    # network hyper parameters (train_video.py:270-280)
+    nc_im: int = 3
+    nfc: int = 64
+    latent_dim: int = 128
+    vae_levels: int = 3
+    enc_blocks: int = 2
+    ker_size: int = 3
+    num_layer: int = 5
+    stride: Any = 1
+    padd_size: int = 1
+    generator: str = "GeneratorHPVAEGAN"
+    discriminator: str = "WDiscriminator3D"
+
+    # pyramid parameters (train_video.py:283-286)
+    scale_factor: float = 0.75
+    noise_amp: float = 0.1
+    min_size: int = 32
+    max_size: int = 256
+
+    # optimization hyper parameters (train_video.py:289-301)
+    niter: int = 50000
+    lr_g: float = 0.0005
+    lr_d: float = 0.0005
+    beta1: float = 0.5
+    lambda_grad: float = 0.1
+    rec_weight: float = 10.0
+    kl_weight: float = 1.0
+    disc_loss_weight: float = 1.0
+    lr_scale: float = 0.2
+    train_depth: int = 1
+    grad_clip: float = 5.0
+    const_amp: bool = False
+    train_all: bool = False
+
+    # baselines extras (train_video_baselines.py:225-250)
+    nc_z: int = 3
+    Gsteps: int = 1
+    Dsteps: int = 1
+    alpha: float = 10.0
+
+    # dataset (train_video.py:304-311)
+    video_path: str = ""
+    image_path: str = ""
+    start_frame: int = 0
+    max_frames: int = 1000
+    hflip: bool = False
+    img_size: int = 256
+    sampling_rates: Tuple[int, ...] = (4, 3, 2, 1)
+    stop_scale_time: int = -1
+    data_rep: int = 1
+
+    # main arguments (train_video.py:314-319)
+    checkname: str = "DEBUG"
+    mode: str = "train"
+    batch_size: int = 2
+    print_interval: int = 100
+    visualize: bool = False
+    no_cuda: bool = False          # kept verbatim: disables the accelerator
+    tag: str = ""                  # train_image.py only (neptune tag)
+
+    # ---- TPU-native extensions (not in the reference) ----
+    bf16: bool = False             # bfloat16 conv compute, f32 params/accum
+    mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
+    spmd: bool = False             # shard the train step over the mesh
+    run_dir: str = "run"           # root of the experiment tree
+
+    # ---- derived state, filled by trainers (mirrors opt mutation) ----
+    noise_amp_init: float = 0.1
+    scale_factor_init: float = 0.75
+    num_scales: int = 0
+    stop_scale: int = 0
+    scale1: float = 1.0
+    ar: float = 1.0
+    org_fps: float = 30.0
+    fps_lcm: int = 12
+    fps: float = 30.0
+    td: int = 1
+    fps_index: int = 0
+    scale_idx: int = 0
+    resumed_idx: int = -1
+    resume_dir: str = ""
+    Noise_Amps: List[float] = dataclasses.field(default_factory=list)
+
+    # non-serializable runtime attachments (saver, summary, dataset, ...)
+    # are plain attributes set by trainers; dataclasses allow that.
+
+    def pyramid(self) -> Pyramid:
+        """Build the immutable pyramid from derived fields (video flavor)."""
+        return Pyramid.for_video(
+            img_size=self.img_size, ar=self.ar, min_size=self.min_size,
+            max_size=self.max_size, scale_factor_init=self.scale_factor_init,
+            sampling_rates=self.sampling_rates, org_fps=self.org_fps,
+            stop_scale_time=self.stop_scale_time)
+
+    def pyramid2d(self) -> Pyramid:
+        return Pyramid.for_image(
+            img_size=self.img_size, ar=self.ar, min_size=self.min_size,
+            max_size=self.max_size, scale_factor_init=self.scale_factor_init)
+
+    def adjust_scales(self) -> None:
+        """Mirror utils.adjust_scales2image side effects onto this config."""
+        from .pyramid import adjust_scales
+        self.noise_amp_init = self.noise_amp
+        self.scale_factor_init = self.scale_factor
+        adj = adjust_scales(self.img_size, self.min_size, self.max_size,
+                            self.scale_factor_init)
+        self.num_scales = adj.num_scales
+        self.stop_scale = adj.stop_scale
+        self.scale1 = adj.scale1
+        self.scale_factor = adj.scale_factor
+        if self.stop_scale_time == -1:
+            self.stop_scale_time = self.stop_scale
+
+
+_COMMON_FLAGS = [
+    # (flags, kwargs)
+    (["--netG"], dict(default="", help="path to netG (to continue training)")),
+    (["--netD"], dict(default="", help="path to netD (to continue training)")),
+    (["--manualSeed"], dict(type=int, help="manual seed")),
+    (["--nc-im"], dict(type=int, default=3, help="# channels")),
+    (["--nfc"], dict(type=int, default=64, help="model basic # channels")),
+    (["--latent-dim"], dict(type=int, default=128, help="Latent dim size")),
+    (["--vae-levels"], dict(type=int, default=3, help="# VAE levels")),
+    (["--enc-blocks"], dict(type=int, default=2, help="# encoder blocks")),
+    (["--ker-size"], dict(type=int, default=3, help="kernel size")),
+    (["--num-layer"], dict(type=int, default=5, help="number of layers")),
+    (["--stride"], dict(default=1, help="stride")),
+    (["--padd-size"], dict(type=int, default=1, help="net pad size")),
+    (["--scale-factor"], dict(type=float, default=0.75, help="pyramid scale factor")),
+    (["--noise_amp"], dict(type=float, default=0.1, help="addative noise cont weight")),
+    (["--min-size"], dict(type=int, default=32, help="image minimal size at the coarser scale")),
+    (["--max-size"], dict(type=int, default=256, help="image maximal size at the finest scale")),
+    (["--niter"], dict(type=int, default=50000, help="number of iterations to train per scale")),
+    (["--lr-g"], dict(type=float, default=0.0005, help="generator learning rate")),
+    (["--lr-d"], dict(type=float, default=0.0005, help="discriminator learning rate")),
+    (["--beta1"], dict(type=float, default=0.5, help="beta1 for adam")),
+    (["--lambda-grad"], dict(type=float, default=0.1, help="gradient penalty weight")),
+    (["--rec-weight"], dict(type=float, default=10.0, help="reconstruction loss weight")),
+    (["--disc-loss-weight"], dict(type=float, default=1.0, help="discriminator weight")),
+    (["--lr-scale"], dict(type=float, default=0.2, help="scaling of learning rate for lower stages")),
+    (["--train-depth"], dict(type=int, default=1, help="how many layers are trained if growing")),
+    (["--hflip"], dict(action="store_true", default=False, help="horizontal flip")),
+    (["--img-size"], dict(type=int, default=256)),
+    (["--data-rep"], dict(type=int, default=1, help="data repetition")),
+    (["--checkname"], dict(type=str, default="DEBUG", help="check name")),
+    (["--mode"], dict(default="train", help="task to be done")),
+    (["--batch-size"], dict(type=int, default=2, help="batch size")),
+    (["--print-interval"], dict(type=int, default=100, help="print interval")),
+    (["--visualize"], dict(action="store_true", default=False, help="visualize using tensorboard")),
+    (["--no-cuda"], dict(action="store_true", default=False, help="disables the accelerator (runs on CPU)")),
+    # TPU-native extensions
+    (["--bf16"], dict(action="store_true", default=False, help="bfloat16 conv compute on TPU")),
+    (["--mesh-shape"], dict(type=str, default="", dest="mesh_shape", help="device mesh, e.g. 2x4 (data x spatial)")),
+    (["--spmd"], dict(action="store_true", default=False, help="shard train step over the device mesh")),
+    (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),
+]
+
+_VIDEO_FLAGS = [
+    (["--video-path"], dict(required=True, help="video path")),
+    (["--start-frame"], dict(default=0, type=int, help="start frame number")),
+    (["--max-frames"], dict(default=1000, type=int, help="# frames to save")),
+    (["--sampling-rates"], dict(type=int, nargs="+", default=[4, 3, 2, 1], help="sampling rates")),
+    (["--stop-scale-time"], dict(type=int, default=-1)),
+]
+
+_GAN_EXTRA_FLAGS = [
+    (["--grad-clip"], dict(type=float, default=5, help="gradient clip")),
+    (["--const-amp"], dict(action="store_true", default=False, help="constant noise amplitude")),
+    (["--train-all"], dict(action="store_true", default=False, help="train all levels w.r.t. train-depth")),
+    (["--kl-weight"], dict(type=float, default=1.0, help="KL loss weight")),
+    (["--generator"], dict(type=str, default="GeneratorHPVAEGAN", help="generator model")),
+]
+
+_BASELINES_FLAGS = [
+    (["--generator"], dict(type=str, default="GeneratorCSG", help="generator model")),
+    (["--nc-z"], dict(type=int, default=3, help="noise # channels")),
+    (["--Gsteps"], dict(type=int, default=1, help="generator inner steps")),
+    (["--Dsteps"], dict(type=int, default=1, help="discriminator inner steps")),
+    (["--alpha"], dict(type=float, default=10.0, help="reconstruction loss weight")),
+]
+
+
+def build_parser(kind: str) -> argparse.ArgumentParser:
+    """kind in {'image', 'video', 'video_baselines'} — mirrors the three
+    reference entry-point parsers flag-for-flag, plus TPU extensions."""
+    parser = argparse.ArgumentParser()
+    for flags, kw in _COMMON_FLAGS:
+        parser.add_argument(*flags, **kw)
+
+    if kind == "image":
+        parser.add_argument("--image-path", required=True, help="image path")
+        parser.add_argument("--tag", default="", help="neptune tag")
+        parser.add_argument("--discriminator", type=str, default="WDiscriminator2D")
+        for flags, kw in _GAN_EXTRA_FLAGS:
+            parser.add_argument(*flags, **kw)
+    elif kind == "video":
+        parser.add_argument("--discriminator", type=str, default="WDiscriminator3D")
+        for flags, kw in _VIDEO_FLAGS + _GAN_EXTRA_FLAGS:
+            parser.add_argument(*flags, **kw)
+    elif kind == "video_baselines":
+        parser.add_argument("--discriminator", type=str, default="WDiscriminatorBaselines")
+        for flags, kw in _VIDEO_FLAGS + _BASELINES_FLAGS:
+            parser.add_argument(*flags, **kw)
+        parser.add_argument("--grad-clip", type=float, default=5)
+        parser.add_argument("--const-amp", action="store_true", default=False)
+        parser.add_argument("--train-all", action="store_true", default=False)
+        parser.add_argument("--kl-weight", type=float, default=1.0)
+    else:
+        raise ValueError(f"unknown parser kind: {kind}")
+    return parser
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = Config()
+    for key, value in vars(args).items():
+        attr = key.replace("-", "_")
+        if hasattr(cfg, attr):
+            if attr == "sampling_rates":
+                value = tuple(value)
+            setattr(cfg, attr, value)
+    return cfg
