@@ -1,0 +1,282 @@
+"""Jitted per-scale training steps.
+
+Each scale gets its own compiled step functions (shapes legitimately change
+per scale — ~10 distinct programs per run, reference call stack
+train_video.py:111-202).  Everything inside a step — both generator
+forwards, the critic update including the WGAN-GP double-backprop, gradient
+clipping, Adam — compiles into ONE fused XLA program per phase, replacing
+the reference's eager op-by-op loop.
+
+Replication notes (torch semantics preserved):
+* Spectral-norm power iteration runs once per optimization step on the
+  weights alone (torch runs its pre-forward hook on every forward — up to 4x
+  per iteration; documented deviation, same fixed point).
+* The same rand-mode noise key is used for the critic-step fake and the
+  generator-step fake, so both see the identical sample like the reference's
+  shared ``fake`` tensor (train_video.py:174-193).
+* The generator's adversarial term uses the critic AFTER its Adam update,
+  exactly like the reference's sequential D-then-G step ordering.
+* BatchNorm train-mode outputs depend only on the current batch, so the
+  reference's running-stat update ordering does not affect training math;
+  running averages here are threaded rec-forward -> rand-forward (the
+  gradient-penalty forward does not contribute a stats update — deviation).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import calc_gradient_penalty, kl_criterion, mse
+from ..models.blocks import spectral_update
+from .optim import (dparams_view, gparams_view, merge_dparams, merge_gparams)
+
+__all__ = ["apply_disc", "update_g_spectral", "make_hpvaegan_steps",
+           "make_baseline_steps"]
+
+
+def apply_disc(D, dvars: Dict[str, Any], x: jnp.ndarray, train: bool):
+    """Critic forward; threads batch_stats for the baselines critic."""
+    if "batch_stats" in dvars:
+        if train:
+            out, upd = D.apply(dvars, x, True, mutable=["batch_stats"])
+            return out, {**dvars, **upd}
+        return D.apply(dvars, x, False), dvars
+    return D.apply(dvars, x), dvars
+
+
+def update_g_spectral(gvars: Dict[str, Any]) -> Dict[str, Any]:
+    """One power-iteration step for every SN conv owned by the generator
+    (the encoder's FeatureExtractor)."""
+    out = dict(gvars)
+    for key, val in gvars.items():
+        if key != "body" and isinstance(val, dict) and "spectral" in val:
+            out[key] = {**val,
+                        "spectral": spectral_update(val["params"],
+                                                    val["spectral"])}
+    return out
+
+
+def update_d_spectral(dvars: Dict[str, Any]) -> Dict[str, Any]:
+    if "spectral" in dvars:
+        return {**dvars, "spectral": spectral_update(dvars["params"],
+                                                     dvars["spectral"])}
+    return dvars
+
+
+# ---------------------------------------------------------------------------
+# HP-VAE-GAN steps (train_image.py / train_video.py)
+# ---------------------------------------------------------------------------
+
+def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
+                        tx_d: Optional[optax.GradientTransformation]):
+    """Build the jitted (calibrate, vae_step, gan_step, sample) functions for
+    one scale.  G is a generator orchestrator, D a critic module (or None in
+    the VAE phase)."""
+
+    rec_weight = cfg.rec_weight
+    kl_weight = cfg.kl_weight
+    disc_w = cfg.disc_loss_weight
+    lambda_grad = cfg.lambda_grad
+
+    @jax.jit
+    def calibrate(gvars, real, real_zero, amps, key):
+        """Noise-amp RMSE probe (train_video.py:131-145): rec forward in
+        train mode, returns sqrt(MSE(real, reconstruction))."""
+        (out, _, _), new_gvars = G.apply(gvars, amps, key,
+                                         real_zero=real_zero, mode="rec",
+                                         train=True)
+        return jnp.sqrt(mse(real, out)), new_gvars
+
+    @jax.jit
+    def vae_step(gvars, opt_g, real, real_zero, amps, key):
+        gvars = update_g_spectral(gvars)
+
+        def loss_fn(params_view):
+            gv = merge_gparams(gvars, params_view)
+            (generated, generated_vae, stats), gv_new = G.apply(
+                gv, amps, key, real_zero=real_zero, mode="rec", train=True)
+            mu, logvar = stats
+            rec_vae = mse(generated, real) + mse(generated_vae, real_zero)
+            kl = kl_criterion(mu, logvar)
+            total = rec_weight * rec_vae + kl_weight * kl
+            return total, (rec_vae, kl, gv_new)
+
+        pview = gparams_view(gvars)
+        (total, (rec_vae, kl, gv_new)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(pview)
+        updates, opt_g = tx_g.update(grads, opt_g, pview)
+        new_params = optax.apply_updates(pview, updates)
+        gvars = merge_gparams(gv_new, new_params)
+        metrics = {"loss": total, "rec_vae_loss": rec_vae, "kl_loss": kl}
+        return gvars, opt_g, metrics
+
+    @jax.jit
+    def gan_step(gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
+                 amps, key):
+        k_fake, k_gp, k_rec = jax.random.split(key, 3)
+        gvars = update_g_spectral(gvars)
+        dvars = update_d_spectral(dvars)
+
+        # ---- critic step (train_video.py:168-183) ----
+        (fake, _, _), _ = G.apply(gvars, amps, k_fake, noise_init=noise_init,
+                                  mode="rand", train=True)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(dparams):
+            dv = merge_dparams(dvars, dparams)
+            out_real, dv = apply_disc(D, dv, real, train=True)
+            errD_real = -jnp.mean(out_real)
+            out_fake, dv = apply_disc(D, dv, fake, train=True)
+            errD_fake = jnp.mean(out_fake)
+            gp = calc_gradient_penalty(
+                lambda x: apply_disc(D, dv, x, train=True)[0],
+                real, fake, lambda_grad, k_gp)
+            return errD_real + errD_fake + gp, (errD_real, errD_fake, gp, dv)
+
+        dview = dparams_view(dvars)
+        (_, (errD_real, errD_fake, gp, dv_new)), grads_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(dview)
+        upd_d, opt_d = tx_d.update(grads_d, opt_d, dview)
+        dvars = merge_dparams(dv_new, optax.apply_updates(dview, upd_d))
+
+        # ---- generator step with the UPDATED critic ----
+        def g_loss_fn(params_view):
+            gv = merge_gparams(gvars, params_view)
+            (generated, _, _), gv1 = G.apply(gv, amps, k_rec,
+                                             real_zero=real_zero, mode="rec",
+                                             train=True)
+            (fake_g, _, _), gv2 = G.apply(gv1, amps, k_fake,
+                                          noise_init=noise_init, mode="rand",
+                                          train=True)
+            rec = mse(generated, real)
+            out_fake, _ = apply_disc(D, dvars, fake_g, train=True)
+            errG = -jnp.mean(out_fake) * disc_w
+            total = rec_weight * rec + errG
+            return total, (rec, errG, gv2)
+
+        pview = gparams_view(gvars)
+        (total, (rec, errG, gv_new)), grads_g = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(pview)
+        upd_g, opt_g = tx_g.update(grads_g, opt_g, pview)
+        gvars = merge_gparams(gv_new, optax.apply_updates(pview, upd_g))
+
+        metrics = {"loss": total, "rec_loss": rec, "errG": errG,
+                   "errD_real": errD_real, "errD_fake": errD_fake,
+                   "gradient_penalty": gp}
+        return gvars, dvars, opt_g, opt_d, metrics
+
+    @functools.partial(jax.jit, static_argnames=("train",))
+    def sample(gvars, noise_init, amps, key, train=True):
+        """rand-mode generation (visualization path, train_video.py:226-241
+        runs under no_grad with modules left in train mode — BN uses the
+        sample batch's own stats).  State updates are discarded."""
+        (fake, fake_vae, _), _ = G.apply(gvars, amps, key,
+                                         noise_init=noise_init, mode="rand",
+                                         train=train)
+        return fake, fake_vae
+
+    @jax.jit
+    def reconstruct(gvars, real_zero, amps, key):
+        (out, vae_out, stats), _ = G.apply(gvars, amps, key,
+                                           real_zero=real_zero, mode="rec",
+                                           train=True)
+        return out, vae_out
+
+    return dict(calibrate=calibrate, vae_step=vae_step, gan_step=gan_step,
+                sample=sample, reconstruct=reconstruct)
+
+
+# ---------------------------------------------------------------------------
+# Baseline steps (train_video_baselines.py)
+# ---------------------------------------------------------------------------
+
+def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
+                        tx_d: optax.GradientTransformation):
+    """SinGAN/ConSinGAN pure-GAN steps: Dsteps critic loop, fixed Z_init
+    reconstruction, Gsteps-times-applied generator update
+    (train_video_baselines.py:24-173)."""
+
+    alpha = cfg.alpha
+    disc_w = cfg.disc_loss_weight
+    lambda_grad = cfg.lambda_grad
+    dsteps = cfg.Dsteps
+    gsteps = cfg.Gsteps
+
+    @jax.jit
+    def calibrate(gvars, real, z_init, amps, key):
+        out, new_gvars = G.apply(gvars, amps, key, noise_init=z_init,
+                                 mode="rec", train=True)
+        return jnp.sqrt(mse(real, out)), new_gvars
+
+    @jax.jit
+    def step(gvars, dvars, opt_g, opt_d, real, noise_init, z_init, amps, key):
+        k_gp = jax.random.fold_in(key, 0)
+
+        errD_real = errD_fake = gp = jnp.float32(0)
+        fake = None
+        # --- Dsteps critic updates; fake recomputed each inner step with the
+        # same noise (train_video_baselines.py:126-150) ---
+        for j in range(dsteps):
+            fake, gvars = G.apply(gvars, amps, key, noise_init=noise_init,
+                                  mode="rand", train=True)
+            fake = jax.lax.stop_gradient(fake)
+
+            def d_loss_fn(dparams, fake=fake):
+                dv = merge_dparams(dvars, dparams)
+                out_real, dv = apply_disc(D, dv, real, train=True)
+                e_real = -jnp.mean(out_real)
+                out_fake, dv = apply_disc(D, dv, fake, train=True)
+                e_fake = jnp.mean(out_fake)
+                pen = calc_gradient_penalty(
+                    lambda x: apply_disc(D, dv, x, train=True)[0],
+                    real, fake, lambda_grad, jax.random.fold_in(k_gp, j))
+                return e_real + e_fake + pen, (e_real, e_fake, pen, dv)
+
+            dview = dparams_view(dvars)
+            (_, (errD_real, errD_fake, gp, dv_new)), grads_d = \
+                jax.value_and_grad(d_loss_fn, has_aux=True)(dview)
+            upd_d, opt_d = tx_d.update(grads_d, opt_d, dview)
+            dvars = merge_dparams(dv_new, optax.apply_updates(dview, upd_d))
+
+        # --- generator step (train_video_baselines.py:155-173) ---
+        def g_loss_fn(params_view):
+            gv = merge_gparams(gvars, params_view)
+            fake_g, gv1 = G.apply(gv, amps, key, noise_init=noise_init,
+                                  mode="rand", train=True)
+            out_fake, _ = apply_disc(D, dvars, fake_g, train=True)
+            errG = -jnp.mean(out_fake) * disc_w
+            total = errG
+            rec = jnp.float32(0)
+            if alpha > 0:
+                generated, gv1 = G.apply(gv1, amps, key, noise_init=z_init,
+                                         mode="rec", train=True)
+                rec = alpha * mse(generated, real)
+                total = total + rec
+            return total, (errG, rec, gv1)
+
+        pview = gparams_view(gvars)
+        (_, (errG, rec, gv_new)), grads_g = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(pview)
+        # Gsteps repeated optimizer.step() on the SAME gradients
+        # (train_video_baselines.py:172-173) — replicated literally.
+        new_params = pview
+        for _ in range(gsteps):
+            upd_g, opt_g = tx_g.update(grads_g, opt_g, new_params)
+            new_params = optax.apply_updates(new_params, upd_g)
+        gvars = merge_gparams(gv_new, new_params)
+
+        metrics = {"errG": errG, "rec_loss": rec, "errD_real": errD_real,
+                   "errD_fake": errD_fake, "gradient_penalty": gp}
+        return gvars, dvars, opt_g, opt_d, metrics
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def sample(gvars, noise_init, amps, key, mode="rand"):
+        out, _ = G.apply(gvars, amps, key, noise_init=noise_init, mode=mode,
+                         train=True)
+        return out
+
+    return dict(calibrate=calibrate, step=step, sample=sample)

@@ -1,0 +1,206 @@
+"""Per-scale training driver shared by the image & video entry points.
+
+Mirrors the reference's ``train(opt, netG)`` call stack (train_video.py:25-258,
+train_image.py:39-272): per-scale critic construction with warm start, fresh
+per-scale optimizers with depth-decayed LR groups, iteration-0 noise-amp
+calibration, VAE-phase / GAN-phase step dispatch, TensorBoard scalars and
+sample grids, and end-of-scale checkpoints.
+
+The hot loop body is one jitted XLA program per phase (train/steps.py); this
+file is pure Python orchestration.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import BatchLoader
+from ..models.registry import make_discriminator
+from ..utils import LoggingBlock, create_progressbar
+from .optim import (build_d_optimizer, build_g_optimizer, dparams_view,
+                    gparams_view, hpvaegan_group_plan)
+from .steps import make_hpvaegan_steps
+
+__all__ = ["train_scale", "init_discriminator"]
+
+
+def init_discriminator(D, key: jax.Array, sample_shape) -> Dict[str, Any]:
+    x = jnp.zeros(sample_shape)
+    try:
+        return dict(D.init(key, x))          # WDiscriminator (no train arg)
+    except TypeError:
+        return dict(D.init(key, x, True))    # baselines critic (train arg)
+
+
+def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
+                root_key: jax.Array, ndim: int) -> Dict[str, Any]:
+    """Train one pyramid scale; returns updated generator variables."""
+    scale_idx = cfg.scale_idx
+    pyramid = G.pyramid
+    gan_phase = cfg.vae_levels < scale_idx + 1
+    key = jax.random.fold_in(root_key, scale_idx)
+
+    # ---- Z_init noise geometry (train_video.py:39-42, train_image.py:137-139)
+    if ndim == 3:
+        if not hasattr(cfg, "Z_init_size"):
+            h0, w0 = pyramid.shape2d(0)
+            # reference quirk: uses the td of the FIRST trained scale
+            cfg.Z_init_size = [cfg.batch_size, cfg.td, h0, w0, cfg.latent_dim]
+    else:
+        h0, w0 = pyramid.shape2d(0)
+        cfg.Z_init_size = [cfg.batch_size, h0, w0, cfg.latent_dim]
+
+    # ---- critic (GAN phase only; warm start, train_video.py:44-55) ----
+    D = dvars = tx_d = opt_d = None
+    if gan_phase:
+        D = make_discriminator(cfg.discriminator, cfg, ndim)
+        sample_shape = ((cfg.batch_size, *pyramid.shape3d(scale_idx), cfg.nc_im)
+                        if ndim == 3 else
+                        (cfg.batch_size, *pyramid.shape2d(scale_idx), cfg.nc_im))
+        dvars = init_discriminator(D, jax.random.fold_in(key, 101),
+                                   sample_shape)
+        if cfg.netG != "" and cfg.resumed_idx == scale_idx:
+            dvars = saver.load_checkpoint(f"netD_{scale_idx - 1}",
+                                          target={"scale": 0, "dvars": dvars},
+                                          directory=cfg.resume_dir)["dvars"]
+        elif cfg.vae_levels < scale_idx:
+            dvars = saver.load_checkpoint(f"netD_{scale_idx - 1}",
+                                          target={"scale": 0, "dvars": dvars}
+                                          )["dvars"]
+        tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+
+    # ---- generator optimizer (fresh per scale, train_video.py:57-88) ----
+    pview = gparams_view(gvars)
+    module_labels, body_labels, lrs = hpvaegan_group_plan(
+        cfg, scale_idx, len(gvars["body"]))
+    tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
+                                    lrs, cfg.grad_clip)
+
+    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d)
+
+    loader = BatchLoader(dataset, cfg.batch_size,
+                         seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
+                         scale_idx=scale_idx)
+
+    bar = create_progressbar(
+        iterable=range(cfg.niter),
+        desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
+
+    noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else cfg.noise_amp_init
+    metrics: Dict[str, Any] = {}
+    try:
+        for iteration in bar:
+            it_key = jax.random.fold_in(key, iteration)
+            k_noise, k_step, k_vis = jax.random.split(it_key, 3)
+            real, real_zero = next(loader)
+
+            noise_init = jax.random.normal(k_noise, tuple(cfg.Z_init_size))
+
+            # ---- iteration-0 noise-amp calibration (train_video.py:131-145)
+            if iteration == 0:
+                if len(cfg.Noise_Amps) >= scale_idx + 1:
+                    # Resuming a scale whose amp was already calibrated:
+                    # reuse it.  (Conscious fix of a reference bug — the
+                    # reference re-appends on resume, shifting every later
+                    # scale's amp slot by one, train_video.py:131-145 after
+                    # :399-416 resume.)
+                    noise_amp = float(cfg.Noise_Amps[scale_idx])
+                elif cfg.const_amp:
+                    cfg.Noise_Amps.append(1.0)
+                    noise_amp = 1.0
+                elif scale_idx == 0:
+                    noise_amp = 1.0
+                    cfg.Noise_Amps.append(noise_amp)
+                else:
+                    cfg.Noise_Amps.append(0.0)
+                    amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
+                    rmse, gvars = steps["calibrate"](gvars, real, real_zero,
+                                                     amps, k_step)
+                    noise_amp = (cfg.noise_amp_init * float(rmse)
+                                 / cfg.batch_size)
+                    cfg.Noise_Amps[-1] = noise_amp
+
+            amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
+
+            # ---- one fused step ----
+            if gan_phase:
+                gvars, dvars, opt_g, opt_d, metrics = steps["gan_step"](
+                    gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
+                    amps, k_step)
+            else:
+                gvars, opt_g, metrics = steps["vae_step"](
+                    gvars, opt_g, real, real_zero, amps, k_step)
+
+            bar.set_description(
+                f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
+                f"Iteration [{iteration + 1}/{cfg.niter}]")
+
+            # ---- TensorBoard (train_video.py:210-241) ----
+            if cfg.visualize and summary is not None:
+                tag = f"Video/Scale {scale_idx}" if ndim == 3 \
+                    else f"Video/Scale {scale_idx}"
+                summary.add_scalar(f"{tag}/noise_amp", noise_amp, iteration)
+                if not gan_phase:
+                    summary.add_scalar(f"{tag}/KLD", metrics["kl_loss"],
+                                       iteration)
+                    summary.add_scalar(f"{tag}/Rec VAE",
+                                       metrics["rec_vae_loss"], iteration)
+                else:
+                    summary.add_scalar(f"{tag}/rec loss",
+                                       metrics["rec_loss"], iteration)
+                    summary.add_scalar(f"{tag}/errG", metrics["errG"],
+                                       iteration)
+                    summary.add_scalar(f"{tag}/errD_fake",
+                                       metrics["errD_fake"], iteration)
+                    summary.add_scalar(f"{tag}/errD_real",
+                                       metrics["errD_real"], iteration)
+
+                if iteration % cfg.print_interval == 0:
+                    _visualize(cfg, G, gvars, steps, amps, real, real_zero,
+                               noise_init, k_vis, summary, ndim, iteration)
+    finally:
+        loader.close()
+        bar.close()
+
+    # ---- end-of-scale checkpoints (train_video.py:246-258) ----
+    saver.save_checkpoint({"data": np.asarray(cfg.Noise_Amps, np.float32)},
+                          "Noise_Amps")
+    saver.save_json({"noise_amps": [float(a) for a in cfg.Noise_Amps],
+                     "scale": scale_idx}, "Noise_Amps.json")
+    saver.save_checkpoint({"scale": scale_idx, "gvars": gvars,
+                           "noise_amps": np.asarray(cfg.Noise_Amps,
+                                                    np.float32),
+                           "opt_g": opt_g}, "netG")
+    if gan_phase:
+        saver.save_checkpoint({"scale": scale_idx, "dvars": dvars,
+                               "opt_d": opt_d}, f"netD_{scale_idx}",
+                              blocking=True)
+    saver.wait()
+    return gvars
+
+
+def _visualize(cfg, G, gvars, steps, amps, real, real_zero, noise_init,
+               key, summary, ndim: int, iteration: int) -> None:
+    """3 independent rand-mode samples -> grids (train_video.py:225-241)."""
+    fakes, fake_vaes = [], []
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        noise = jax.random.normal(k, noise_init.shape, noise_init.dtype)
+        fake, fake_vae = steps["sample"](gvars, noise, amps,
+                                         jax.random.fold_in(k, 1))
+        fakes.append(fake)
+        fake_vaes.append(fake_vae)
+    fake_var = jnp.concatenate(fakes, axis=0)
+    fake_vae_var = jnp.concatenate(fake_vaes, axis=0)
+    generated, generated_vae = steps["reconstruct"](
+        gvars, real_zero, amps, jax.random.fold_in(key, 7))
+
+    viz = summary.visualize_video if ndim == 3 else summary.visualize_image
+    viz(cfg, iteration, np.asarray(real), "Real")
+    viz(cfg, iteration, np.asarray(generated), "Generated")
+    viz(cfg, iteration, np.asarray(generated_vae), "Generated VAE")
+    viz(cfg, iteration, np.asarray(fake_var), "Fake var")
+    viz(cfg, iteration, np.asarray(fake_vae_var), "Fake VAE var")

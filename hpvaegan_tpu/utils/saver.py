@@ -1,0 +1,148 @@
+"""Experiment tree + checkpointing (reference: utils/saver.py).
+
+Directory layout matches the reference: ``run/<clip>/<checkname>/
+experiment_<N>/`` with an ``eval/`` subdir and auto-incremented run ids
+(utils/saver.py:25-37).  Checkpoints are msgpack-serialized pytrees (flax
+serialization) written atomically; the reference's file semantics are kept:
+
+  netG           full growing generator vars + scale + noise_amps
+                 (train_video.py:247-252)
+  netD_<s>       per-scale critic vars — ALSO the warm start for the next
+                 scale's critic (train_video.py:50-52, 253-258)
+  Noise_Amps     the per-scale noise amplitude list (train_video.py:246)
+  Z_init         baselines fixed reconstruction noise
+                 (train_video_baselines.py:43)
+
+Restore-with-growth-replay: like the reference (train_video.py:399-416), the
+caller rebuilds the module structure by replaying ``init_next_stage`` before
+``load_into`` deserializes the payload into the matching pytree.
+Saves run on a background thread (async checkpointing) so the device never
+waits on the filesystem.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+__all__ = ["Saver", "VideoSaver", "ImageSaver", "write_video",
+           "restore_file"]
+
+
+def restore_file(path: str, target: Any = None) -> Any:
+    """Deserialize a checkpoint file; with a ``target`` pytree the payload is
+    loaded into the matching structure (resume-with-growth-replay,
+    train_video.py:399-416)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is None:
+        return flax.serialization.msgpack_restore(data)
+    return flax.serialization.from_bytes(target, data)
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class Saver:
+    """Base saver: experiment dir management + pytree checkpoints."""
+
+    def __init__(self, cfg, clip_name: str, run_id: Optional[int] = None):
+        self.cfg = cfg
+        self.directory = os.path.join(cfg.run_dir, clip_name, cfg.checkname)
+        if run_id is None:
+            runs = sorted(glob.glob(os.path.join(self.directory,
+                                                 "experiment_*")))
+            run_id = int(runs[-1].split("_")[-1]) + 1 if runs else 0
+        self.experiment_dir = os.path.join(self.directory,
+                                           f"experiment_{run_id}")
+        os.makedirs(self.experiment_dir, exist_ok=True)
+        self.eval_dir = os.path.join(self.experiment_dir, "eval")
+        os.makedirs(self.eval_dir, exist_ok=True)
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending: Optional[Future] = None
+
+    # -- checkpoints -------------------------------------------------------
+    def _write(self, payload: bytes, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    def save_checkpoint(self, state: Any, filename: str,
+                        blocking: bool = False) -> None:
+        """Serialize a pytree; by default the disk write is async."""
+        path = os.path.join(self.experiment_dir, filename)
+        payload = flax.serialization.to_bytes(_to_host(state))
+        self.wait()
+        self._pending = self._pool.submit(self._write, payload, path)
+        if blocking:
+            self.wait()
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+
+    def load_checkpoint(self, filename: str, target: Any = None,
+                        directory: Optional[str] = None) -> Any:
+        path = os.path.join(directory or self.experiment_dir, filename)
+        with open(path, "rb") as f:
+            data = f.read()
+        if target is None:
+            return flax.serialization.msgpack_restore(data)
+        return flax.serialization.from_bytes(target, data)
+
+    def save_json(self, obj: Any, filename: str) -> None:
+        with open(os.path.join(self.experiment_dir, filename), "w") as f:
+            json.dump(obj, f)
+
+
+def write_video(array: np.ndarray, filename: str, fps: float) -> None:
+    """MJPG writer; de-normalizes [-1,1] -> uint8 (utils/saver.py:8-19).
+
+    ``array`` is (T, H, W, C) float in [-1, 1] (channels-last, our layout).
+    """
+    num_frames, height, width = array.shape[0], array.shape[1], array.shape[2]
+    video = cv2_writer(filename, fps, width, height)
+    for i in range(num_frames):
+        frame = (np.asarray(array[i]) + 1.0) * 127.5
+        video.write(np.uint8(frame[:, :, ::-1]))  # RGB -> BGR for OpenCV
+    video.release()
+
+
+def cv2_writer(filename: str, fps: float, width: int, height: int):
+    import cv2
+    return cv2.VideoWriter(filename,
+                           cv2.VideoWriter_fourcc("M", "J", "P", "G"),
+                           float(fps), (width, height))
+
+
+class VideoSaver(Saver):
+    def __init__(self, cfg, run_id: Optional[int] = None):
+        clip_name = ".".join(os.path.basename(cfg.video_path).split(".")[:-1])
+        super().__init__(cfg, clip_name, run_id)
+
+    def save_video(self, array: np.ndarray, filename: str,
+                   fps: Optional[float] = None) -> None:
+        write_video(array, os.path.join(self.eval_dir, filename),
+                    fps if fps is not None else self.cfg.fps)
+
+
+class ImageSaver(Saver):
+    def __init__(self, cfg, run_id: Optional[int] = None):
+        clip_name = ".".join(os.path.basename(cfg.image_path).split(".")[:-1])
+        super().__init__(cfg, clip_name, run_id)
+
+    def save_image(self, array: np.ndarray, filename: str) -> None:
+        import cv2
+        img = (np.asarray(array) + 1.0) * 127.5
+        cv2.imwrite(os.path.join(self.eval_dir, filename),
+                    np.uint8(img[:, :, ::-1]))
