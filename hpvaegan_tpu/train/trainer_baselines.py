@@ -1,0 +1,153 @@
+"""Per-scale training driver for the pure-GAN video baselines
+(reference: train_video_baselines.py:24-213): critic exists at every scale,
+fixed Z_init reconstruction noise, Dsteps/Gsteps inner loops, alpha-weighted
+reconstruction loss, frozen early body stages."""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import BatchLoader
+from ..models.registry import make_discriminator
+from ..utils import create_progressbar
+from .optim import (baselines_group_plan, build_d_optimizer,
+                    build_g_optimizer, dparams_view, gparams_view)
+from .steps import make_baseline_steps
+from .trainer import init_discriminator
+
+__all__ = ["train_scale_baselines"]
+
+
+def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
+                          summary, root_key: jax.Array) -> Dict[str, Any]:
+    scale_idx = cfg.scale_idx
+    pyramid = G.pyramid
+    key = jax.random.fold_in(root_key, scale_idx)
+
+    # ---- fixed Z_init created once, checkpointed
+    # (train_video_baselines.py:38-43)
+    if not hasattr(cfg, "Z_init"):
+        h0, w0 = pyramid.shape2d(0)
+        cfg.Z_init = jax.random.normal(
+            jax.random.fold_in(root_key, 999),
+            (cfg.batch_size, cfg.td, h0, w0, cfg.nc_im))
+        saver.save_checkpoint({"data": cfg.Z_init}, "Z_init")
+
+    # ---- critic always exists; warm start (train_video_baselines.py:45-48)
+    D = make_discriminator(cfg.discriminator, cfg, 3)
+    sample_shape = (cfg.batch_size, *pyramid.shape3d(scale_idx), cfg.nc_im)
+    dvars = init_discriminator(D, jax.random.fold_in(key, 101), sample_shape)
+    if scale_idx > 0:
+        # Conscious fix of a reference resume bug: the reference always warm
+        # starts from the CURRENT experiment dir (train_video_baselines.py:
+        # 46-48), which doesn't exist when resuming into a fresh experiment —
+        # fall back to the resume dir.
+        import os
+        d_name = f"netD_{scale_idx - 1}"
+        directory = None
+        if not os.path.exists(os.path.join(saver.experiment_dir, d_name)) \
+                and getattr(cfg, "resume_dir", ""):
+            directory = cfg.resume_dir
+        dvars = saver.load_checkpoint(d_name,
+                                      target={"scale": 0, "dvars": dvars},
+                                      directory=directory)["dvars"]
+    tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+
+    # ---- generator optimizer (train_video_baselines.py:55-70)
+    pview = gparams_view(gvars)
+    has_head = getattr(G, "has_head_tail", False)
+    module_labels, body_labels, lrs = baselines_group_plan(
+        cfg, scale_idx, len(gvars["body"]), has_head)
+    tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
+                                    lrs, grad_clip=None)
+
+    steps = make_baseline_steps(G, D, cfg, tx_g, tx_d)
+
+    loader = BatchLoader(dataset, cfg.batch_size,
+                         seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
+                         scale_idx=scale_idx)
+    bar = create_progressbar(
+        iterable=range(cfg.niter),
+        desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
+
+    noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else 1.0
+    try:
+        for iteration in bar:
+            it_key = jax.random.fold_in(key, iteration)
+            k_noise, k_step, k_vis = jax.random.split(it_key, 3)
+            real, _ = next(loader)
+
+            noise_init = jax.random.normal(k_noise, cfg.Z_init.shape,
+                                           cfg.Z_init.dtype)
+
+            if iteration == 0:
+                if len(cfg.Noise_Amps) >= scale_idx + 1:
+                    noise_amp = float(cfg.Noise_Amps[scale_idx])  # resume
+                elif scale_idx == 0:
+                    noise_amp = 1.0
+                    cfg.Noise_Amps.append(noise_amp)
+                else:
+                    cfg.Noise_Amps.append(0.0)
+                    amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
+                    rmse, gvars = steps["calibrate"](gvars, real, cfg.Z_init,
+                                                     amps, k_step)
+                    noise_amp = (cfg.noise_amp_init * float(rmse)
+                                 / cfg.batch_size)
+                    cfg.Noise_Amps[-1] = noise_amp
+
+            amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
+            gvars, dvars, opt_g, opt_d, metrics = steps["step"](
+                gvars, dvars, opt_g, opt_d, real, noise_init, cfg.Z_init,
+                amps, k_step)
+
+            bar.set_description(
+                f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
+                f"Iteration [{iteration + 1}/{cfg.niter}]")
+
+            if cfg.visualize and summary is not None:
+                tag = f"Video/Scale {scale_idx}"
+                summary.add_scalar(f"{tag}/errG", metrics["errG"], iteration)
+                summary.add_scalar(f"{tag}/errD_fake", metrics["errD_fake"],
+                                   iteration)
+                summary.add_scalar(f"{tag}/errD_real", metrics["errD_real"],
+                                   iteration)
+                if cfg.alpha > 0:
+                    summary.add_scalar(f"{tag}/rec_loss",
+                                       metrics["rec_loss"], iteration)
+                    summary.add_scalar(f"{tag}/noise_amp", noise_amp,
+                                       iteration)
+                if iteration % cfg.print_interval == 0:
+                    fake = steps["sample"](gvars, noise_init, amps,
+                                           jax.random.fold_in(k_vis, 1))
+                    summary.visualize_video(cfg, iteration, np.asarray(real),
+                                            "Real")
+                    summary.visualize_video(cfg, iteration, np.asarray(fake),
+                                            "Fake")
+                    if cfg.alpha > 0:
+                        gen = steps["sample"](gvars, cfg.Z_init, amps,
+                                              jax.random.fold_in(k_vis, 2),
+                                              mode="rec")
+                        summary.visualize_video(cfg, iteration,
+                                                np.asarray(gen), "Generated")
+    finally:
+        loader.close()
+        bar.close()
+
+    # ---- checkpoints (train_video_baselines.py:200-213)
+    saver.save_checkpoint({"data": cfg.Z_init}, "Z_init")
+    saver.save_checkpoint({"data": np.asarray(cfg.Noise_Amps, np.float32)},
+                          "Noise_Amps")
+    saver.save_json({"noise_amps": [float(a) for a in cfg.Noise_Amps],
+                     "scale": scale_idx}, "Noise_Amps.json")
+    saver.save_checkpoint({"scale": scale_idx, "gvars": gvars,
+                           "noise_amps": np.asarray(cfg.Noise_Amps,
+                                                    np.float32),
+                           "opt_g": opt_g}, "netG")
+    saver.save_checkpoint({"scale": scale_idx, "dvars": dvars,
+                           "opt_d": opt_d}, f"netD_{scale_idx}",
+                          blocking=True)
+    saver.wait()
+    return gvars
