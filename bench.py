@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Benchmark: per-scale 3D train-step throughput (BASELINE.json metric).
+
+Workload: the default HP-VAE-GAN video configuration (nfc 64, latent 128,
+num_layer 5, enc_blocks 2, batch 2, img 256, rates [4,3,2,1]) at pyramid
+scale 5 — a (5, 102, 102) spatio-temporal activation, GAN phase (full
+WGAN-GP critic update + generator update, train_video.py:147-202).
+
+Ours runs as ONE fused jitted XLA program on the default backend (TPU).
+The baseline is the unmodified reference PyTorch code imported from
+/root/reference and driven through the same iteration on this host's CPU
+(the reference has no TPU support; torch-CPU on the same machine is the
+honest same-host comparison).  The baseline number is cached in
+BASELINE_MEASURED.json keyed by a config fingerprint.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "iter/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+SCALE_IDX = 5
+FINGERPRINT = {
+    "scale_idx": SCALE_IDX, "nfc": 64, "latent_dim": 128, "num_layer": 5,
+    "enc_blocks": 2, "batch": 2, "img_size": 256, "min_size": 32,
+    "max_size": 256, "vae_levels": 3, "sampling_rates": [4, 3, 2, 1],
+    "phase": "gan",
+}
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Ours (JAX / TPU)
+# ---------------------------------------------------------------------------
+
+def bench_ours(warmup: int = 3, iters: int = 30) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from hpvaegan_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from hpvaegan_tpu.core.config import Config
+    from hpvaegan_tpu.core.pyramid import Pyramid
+    from hpvaegan_tpu.models.registry import (make_discriminator,
+                                              make_generator)
+    from hpvaegan_tpu.train.optim import (build_d_optimizer,
+                                          build_g_optimizer, dparams_view,
+                                          gparams_view, hpvaegan_group_plan)
+    from hpvaegan_tpu.train.steps import make_hpvaegan_steps
+    from hpvaegan_tpu.train.trainer import init_discriminator
+
+    fp = FINGERPRINT
+    cfg = Config(nfc=fp["nfc"], latent_dim=fp["latent_dim"],
+                 num_layer=fp["num_layer"], enc_blocks=fp["enc_blocks"],
+                 vae_levels=fp["vae_levels"], batch_size=fp["batch"],
+                 img_size=fp["img_size"], min_size=fp["min_size"],
+                 max_size=fp["max_size"])
+    cfg.adjust_scales()
+    cfg.ar = 1.0
+    cfg.scale_idx = SCALE_IDX
+    pyr = Pyramid.for_video(fp["img_size"], 1.0, fp["min_size"],
+                            fp["max_size"], cfg.scale_factor_init,
+                            fp["sampling_rates"], 30.0)
+
+    key = jax.random.PRNGKey(0)
+    G = make_generator("GeneratorHPVAEGAN", cfg, pyr, 3)
+    gvars = G.init(key, 1)
+    for i in range(SCALE_IDX):
+        gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
+
+    D = make_discriminator("WDiscriminator3D", cfg, 3)
+    batch = fp["batch"]
+    dvars = init_discriminator(D, jax.random.fold_in(key, 1),
+                               (batch, *pyr.shape3d(SCALE_IDX), 3))
+
+    pview = gparams_view(gvars)
+    ml, bl, lrs = hpvaegan_group_plan(cfg, SCALE_IDX, len(gvars["body"]))
+    tx_g, opt_g = build_g_optimizer(cfg, pview, ml, bl, lrs, cfg.grad_clip)
+    tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d)
+
+    real = jax.random.normal(jax.random.fold_in(key, 2),
+                             (batch, *pyr.shape3d(SCALE_IDX), 3))
+    real_zero = jax.random.normal(jax.random.fold_in(key, 3),
+                                  (batch, *pyr.shape3d(0), 3))
+    noise_init = jax.random.normal(
+        jax.random.fold_in(key, 4),
+        (batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim))
+    amps = jnp.full(SCALE_IDX + 1, 0.1, jnp.float32)
+
+    # Timing note: through the remote axon relay, block_until_ready is not a
+    # reliable barrier — fetching a scalar produced by the LAST step of a
+    # dependency chain is.  We therefore time a chain of N dependent steps
+    # terminated by one scalar fetch (relay round-trip ~40ms amortizes away).
+    def run_chain(state, n, seed):
+        metrics = None
+        for i in range(n):
+            *state, metrics = steps["gan_step"](
+                *state, real, real_zero, noise_init, amps,
+                jax.random.fold_in(key, seed + i))
+        return state, float(metrics["loss"])  # forces the whole chain
+
+    state = [gvars, dvars, opt_g, opt_d]
+    log(f"[ours] compiling gan_step on {jax.devices()[0].platform} "
+        f"shape={pyr.shape3d(SCALE_IDX)} ...")
+    t0 = time.perf_counter()
+    state, _ = run_chain(state, warmup, 10)
+    log(f"[ours] warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    state, _ = run_chain(state, iters, 50)
+    dt = time.perf_counter() - t0
+    log(f"[ours] {iters} chained iters in {dt:.2f}s "
+        f"-> {iters / dt:.3f} iter/s")
+    return iters / dt
+
+
+# ---------------------------------------------------------------------------
+# Baseline: unmodified reference PyTorch code on host CPU
+# ---------------------------------------------------------------------------
+
+def bench_reference(warmup: int = 1, iters: int = 3) -> float:
+    import argparse
+
+    import torch
+    import torch.nn.functional as F
+    import torch.optim as optim
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    # stub optional deps the reference's utils package imports at module
+    # scope but the benchmark path never uses
+    import types
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.utils = tvu
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+        sys.modules["torchvision.transforms"] = tvt
+
+    sys.path.insert(0, "/root/reference")
+    from modules import networks_3d
+    from modules.utils import calc_gradient_penalty
+    import utils as ref_utils
+
+    fp = FINGERPRINT
+    opt = argparse.Namespace(
+        nfc=fp["nfc"], latent_dim=fp["latent_dim"],
+        num_layer=fp["num_layer"], enc_blocks=fp["enc_blocks"],
+        ker_size=3, padd_size=1, nc_im=3, vae_levels=fp["vae_levels"],
+        train_all=False, img_size=fp["img_size"], min_size=fp["min_size"],
+        max_size=fp["max_size"], scale_factor=0.75, scale_factor_init=0.75,
+        sampling_rates=fp["sampling_rates"], stop_scale_time=-1,
+        org_fps=30.0, fps_lcm=12, ar=1.0, device="cpu",
+        lr_g=5e-4, lr_d=5e-4, beta1=0.5, lambda_grad=0.1, rec_weight=10.0,
+        disc_loss_weight=1.0, grad_clip=5.0, batch_size=fp["batch"],
+    )
+    ref_utils.adjust_scales2image(opt.img_size, opt)
+    if opt.stop_scale_time == -1:
+        opt.stop_scale_time = opt.stop_scale
+
+    netG = networks_3d.GeneratorHPVAEGAN(opt)
+    for _ in range(SCALE_IDX):
+        netG.init_next_stage()
+    netD = networks_3d.WDiscriminator3D(opt)
+    optimizerG = optim.Adam(netG.parameters(), lr=opt.lr_g,
+                            betas=(opt.beta1, 0.999))
+    optimizerD = optim.Adam(netD.parameters(), lr=opt.lr_d,
+                            betas=(opt.beta1, 0.999))
+
+    _, td0, _ = ref_utils.get_fps_td_by_index(0, opt), None, None
+    fps0, td0, _ = ref_utils.get_fps_td_by_index(0, opt)
+    fps_s, td_s, _ = ref_utils.get_fps_td_by_index(SCALE_IDX, opt)
+    size0 = ref_utils.get_scales_by_index(0, opt.scale_factor,
+                                          opt.stop_scale, opt.img_size)
+    size_s = ref_utils.get_scales_by_index(SCALE_IDX, opt.scale_factor,
+                                           opt.stop_scale, opt.img_size)
+    b = fp["batch"]
+    real = torch.randn(b, 3, td_s, size_s, size_s)
+    real_zero = torch.randn(b, 3, td0, size0, size0)
+    noise_init = torch.randn(b, opt.latent_dim, td0, size0, size0)
+    noise_amps = [0.1] * (SCALE_IDX + 1)
+
+    def one_iter():
+        generated, generated_vae, (mu, logvar) = netG(real_zero, noise_amps,
+                                                      mode="rec")
+        netD.zero_grad()
+        errD_real = -netD(real).mean()
+        fake, _ = netG(noise_init, noise_amps, noise_init=noise_init,
+                       mode="rand")
+        errD_fake = netD(fake.detach()).mean()
+        gp = calc_gradient_penalty(netD, real, fake, opt.lambda_grad, "cpu")
+        (errD_real + errD_fake + gp).backward()
+        optimizerD.step()
+
+        rec_loss = torch.nn.functional.mse_loss(generated, real)
+        errG = -netD(fake).mean() * opt.disc_loss_weight
+        total = opt.rec_weight * rec_loss + errG
+        netG.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(netG.parameters(), opt.grad_clip)
+        optimizerG.step()
+
+    log(f"[reference] torch {torch.__version__} on CPU "
+        f"({torch.get_num_threads()} threads), shape=({td_s},{size_s},{size_s})")
+    for _ in range(warmup):
+        one_iter()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_iter()
+    dt = time.perf_counter() - t0
+    log(f"[reference] {iters} iters in {dt:.2f}s -> {iters / dt:.4f} iter/s")
+    return iters / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            data = json.load(f)
+        if data.get("fingerprint") == FINGERPRINT:
+            return data["iters_per_sec"]
+    value = bench_reference()
+    with open(CACHE, "w") as f:
+        json.dump({"fingerprint": FINGERPRINT, "iters_per_sec": value,
+                   "note": "reference PyTorch (unmodified, imported from "
+                           "/root/reference) on this host's CPU; the "
+                           "reference has no TPU support"}, f, indent=1)
+    return value
+
+
+def main() -> None:
+    ours = bench_ours()
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "train3d_gan_step_iters_per_sec_scale5",
+        "value": round(ours, 4),
+        "unit": "iter/s",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

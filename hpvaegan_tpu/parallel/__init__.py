@@ -1,0 +1,5 @@
+from .mesh import (batch_spec, default_mesh_shape, make_mesh,
+                   parse_mesh_shape, replicate, shard_batch, shard_gvars)
+
+__all__ = ["batch_spec", "default_mesh_shape", "make_mesh",
+           "parse_mesh_shape", "replicate", "shard_batch", "shard_gvars"]
