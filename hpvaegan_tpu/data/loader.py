@@ -23,6 +23,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, seed: int,
                  scale_idx: int, prefetch: int = 2, device=None):
+        """``device`` may be a Device, a Sharding, or a callable
+        (array -> placed array) applied to each batch element."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -53,7 +55,10 @@ class BatchLoader:
             indices = next(stream)
             real, real_zero = self.dataset.batch(self.rng, indices,
                                                  self.scale_idx)
-            batch = jax.device_put((real, real_zero), self.device)
+            if callable(self.device):
+                batch = (self.device(real), self.device(real_zero))
+            else:
+                batch = jax.device_put((real, real_zero), self.device)
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.1)

@@ -91,7 +91,10 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                                          train=True)
         return jnp.sqrt(mse(real, out)), new_gvars
 
-    @jax.jit
+    # Buffer donation: the previous step's params/optimizer/state buffers are
+    # dead after each call — donating them lets XLA update in place instead
+    # of allocating fresh HBM every iteration.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def vae_step(gvars, opt_g, real, real_zero, amps, key):
         gvars = update_g_spectral(gvars)
 
@@ -114,7 +117,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         metrics = {"loss": total, "rec_vae_loss": rec_vae, "kl_loss": kl}
         return gvars, opt_g, metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def gan_step(gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
                  amps, key):
         k_fake, k_gp, k_rec = jax.random.split(key, 3)
@@ -212,7 +215,7 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                                  mode="rec", train=True)
         return jnp.sqrt(mse(real, out)), new_gvars
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def step(gvars, dvars, opt_g, opt_d, real, noise_init, z_init, amps, key):
         k_gp = jax.random.fold_in(key, 0)
 

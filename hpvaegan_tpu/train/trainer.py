@@ -81,9 +81,22 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
     steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d)
 
+    # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB) ----
+    place = None
+    if cfg.spmd and cfg.mesh_shape:
+        from ..parallel import (make_mesh, parse_mesh_shape, shard_batch,
+                                shard_gvars)
+        mesh = make_mesh(parse_mesh_shape(cfg.mesh_shape))
+        gvars = shard_gvars(gvars, mesh)
+        opt_g = shard_gvars(opt_g, mesh)
+        if gan_phase:
+            dvars = shard_gvars(dvars, mesh)
+            opt_d = shard_gvars(opt_d, mesh)
+        place = lambda a: shard_batch(a, mesh, ndim)  # noqa: E731
+
     loader = BatchLoader(dataset, cfg.batch_size,
                          seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-                         scale_idx=scale_idx)
+                         scale_idx=scale_idx, device=place)
 
     bar = create_progressbar(
         iterable=range(cfg.niter),
