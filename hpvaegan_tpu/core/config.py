@@ -93,6 +93,7 @@ class Config:
 
     # ---- TPU-native extensions (not in the reference) ----
     bf16: bool = False             # bfloat16 conv compute, f32 params/accum
+    fast_grads: bool = False       # differentiate trainable params only
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
     run_dir: str = "run"           # root of the experiment tree
@@ -183,6 +184,9 @@ _COMMON_FLAGS = [
     (["--no-cuda"], dict(action="store_true", default=False, help="disables the accelerator (runs on CPU)")),
     # TPU-native extensions
     (["--bf16"], dict(action="store_true", default=False, help="bfloat16 conv compute on TPU")),
+    (["--fast-grads"], dict(action="store_true", default=False, dest="fast_grads",
+                            help="differentiate only trainable params (skips backward through "
+                                 "frozen stages; clip norm covers trainable grads only)")),
     (["--mesh-shape"], dict(type=str, default="", dest="mesh_shape", help="device mesh, e.g. 2x4 (data x spatial)")),
     (["--spmd"], dict(action="store_true", default=False, help="shard train step over the device mesh")),
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),

@@ -110,7 +110,9 @@ class GeneratorHPVAEGAN(_PyramidMixin):
             x0 = jnp.zeros(self._scale0_shape(1, self.cfg.nc_im))
             body.append(dict(self.stage_def.init(key, x0, True)))
         else:
-            body.append(jax.tree_util.tree_map(lambda a: a, body[-1]))
+            # jnp.copy, not structural sharing: donated train steps require
+            # every buffer in the input tree to be unique
+            body.append(jax.tree_util.tree_map(jnp.copy, body[-1]))
         return {**gvars, "body": body}
 
     # -- forward -----------------------------------------------------------
@@ -283,7 +285,9 @@ class GeneratorCSG(_PyramidMixin):
 
     def init_next_stage(self, gvars, key=None):
         body = list(gvars["body"])
-        body.append(jax.tree_util.tree_map(lambda a: a, body[-1]))
+        # jnp.copy, not structural sharing: donated train steps require
+        # every buffer in the input tree to be unique
+        body.append(jax.tree_util.tree_map(jnp.copy, body[-1]))
         return {**gvars, "body": body}
 
     def apply(self, gvars, amps, key, noise_init=None, mode: str = "rand",
@@ -340,7 +344,9 @@ class GeneratorSG(_PyramidMixin):
 
     def init_next_stage(self, gvars, key=None):
         body = list(gvars["body"])
-        body.append(jax.tree_util.tree_map(lambda a: a, body[-1]))
+        # jnp.copy, not structural sharing: donated train steps require
+        # every buffer in the input tree to be unique
+        body.append(jax.tree_util.tree_map(jnp.copy, body[-1]))
         return {**gvars, "body": body}
 
     def apply(self, gvars, amps, key, noise_init=None, mode: str = "rand",

@@ -144,6 +144,71 @@ def _label_tree(params_view: Dict[str, Any], module_labels: Dict[str, str],
     return labels
 
 
+def trainable_split(params_view: Dict[str, Any],
+                    module_labels: Dict[str, str], body_labels: List[str]
+                    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split the params view into (trainable, frozen) subtrees by group
+    label.  Used by the --fast-grads path: differentiating only the
+    trainable subtree lets XLA dead-code-eliminate the backward through
+    frozen stages (the reference backprops through everything and zeroes
+    later — train_video.py:199-202)."""
+    trainable: Dict[str, Any] = {}
+    frozen: Dict[str, Any] = {}
+    for key, sub in params_view.items():
+        if key == "body":
+            trainable["body"] = {}
+            frozen["body"] = {}
+            for i, (stage, lab) in enumerate(zip(sub, body_labels)):
+                (frozen if lab == "frozen" else trainable)["body"][i] = stage
+        else:
+            lab = module_labels.get(key, "frozen")
+            (frozen if lab == "frozen" else trainable)[key] = sub
+    return trainable, frozen
+
+
+def trainable_merge(params_view_template: Dict[str, Any],
+                    trainable: Dict[str, Any], frozen: Dict[str, Any]
+                    ) -> Dict[str, Any]:
+    """Inverse of trainable_split (template fixes body ordering/length)."""
+    out: Dict[str, Any] = {}
+    for key, sub in params_view_template.items():
+        if key == "body":
+            body = []
+            for i in range(len(sub)):
+                if i in trainable.get("body", {}):
+                    body.append(trainable["body"][i])
+                else:
+                    body.append(frozen["body"][i])
+            out["body"] = body
+        else:
+            out[key] = trainable.get(key, frozen.get(key))
+    return out
+
+
+def scatter_grads(params_view_template: Dict[str, Any],
+                  trainable_grads: Dict[str, Any]) -> Dict[str, Any]:
+    """Expand trainable-subtree grads to the full params structure with
+    zeros for frozen leaves (what the optimizer transform expects)."""
+    import jax.numpy as jnp
+
+    def zeros_like_tree(t):
+        return jax.tree_util.tree_map(jnp.zeros_like, t)
+
+    out: Dict[str, Any] = {}
+    for key, sub in params_view_template.items():
+        if key == "body":
+            body = []
+            for i in range(len(sub)):
+                if i in trainable_grads.get("body", {}):
+                    body.append(trainable_grads["body"][i])
+                else:
+                    body.append(zeros_like_tree(sub[i]))
+            out["body"] = body
+        else:
+            out[key] = trainable_grads.get(key, zeros_like_tree(sub))
+    return out
+
+
 def build_g_optimizer(cfg, params_view: Dict[str, Any],
                       module_labels: Dict[str, str], body_labels: List[str],
                       lrs: Dict[str, float], grad_clip: Optional[float]

@@ -32,7 +32,8 @@ import optax
 
 from ..losses import calc_gradient_penalty, kl_criterion, mse
 from ..models.blocks import spectral_update
-from .optim import (dparams_view, gparams_view, merge_dparams, merge_gparams)
+from .optim import (dparams_view, gparams_view, merge_dparams, merge_gparams,
+                    scatter_grads, trainable_merge, trainable_split)
 
 __all__ = ["apply_disc", "update_g_spectral", "make_hpvaegan_steps",
            "make_baseline_steps"]
@@ -72,15 +73,41 @@ def update_d_spectral(dvars: Dict[str, Any]) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
-                        tx_d: Optional[optax.GradientTransformation]):
+                        tx_d: Optional[optax.GradientTransformation],
+                        group_plan=None):
     """Build the jitted (calibrate, vae_step, gan_step, sample) functions for
     one scale.  G is a generator orchestrator, D a critic module (or None in
-    the VAE phase)."""
+    the VAE phase).
+
+    ``group_plan`` = (module_labels, body_labels) from the optimizer plan.
+    With cfg.fast_grads it enables differentiating ONLY the trainable
+    subtree: XLA dead-code-eliminates the backward pass through frozen
+    stages.  Deviation from exact reference parity: the global grad-clip
+    norm then covers trainable grads only (the reference's frozen-but-
+    reachable stages contribute to its clip norm, train_video.py:201)."""
 
     rec_weight = cfg.rec_weight
     kl_weight = cfg.kl_weight
     disc_w = cfg.disc_loss_weight
     lambda_grad = cfg.lambda_grad
+    use_fast = bool(getattr(cfg, "fast_grads", False)) and group_plan is not None
+
+    def g_value_and_grad(gvars, loss_of_pview):
+        """value_and_grad over the full params view, or — fast path — over
+        the trainable subtree only, scattered back to full structure."""
+        pview = gparams_view(gvars)
+        if not use_fast:
+            (val, aux), grads = jax.value_and_grad(
+                loss_of_pview, has_aux=True)(pview)
+            return (val, aux), grads, pview
+        train_sub, frozen_sub = trainable_split(pview, *group_plan)
+
+        def loss_of_trainable(tsub):
+            return loss_of_pview(trainable_merge(pview, tsub, frozen_sub))
+
+        (val, aux), tgrads = jax.value_and_grad(
+            loss_of_trainable, has_aux=True)(train_sub)
+        return (val, aux), scatter_grads(pview, tgrads), pview
 
     @jax.jit
     def calibrate(gvars, real, real_zero, amps, key):
@@ -108,9 +135,8 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             total = rec_weight * rec_vae + kl_weight * kl
             return total, (rec_vae, kl, gv_new)
 
-        pview = gparams_view(gvars)
-        (total, (rec_vae, kl, gv_new)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(pview)
+        (total, (rec_vae, kl, gv_new)), grads, pview = g_value_and_grad(
+            gvars, loss_fn)
         updates, opt_g = tx_g.update(grads, opt_g, pview)
         new_params = optax.apply_updates(pview, updates)
         gvars = merge_gparams(gv_new, new_params)
@@ -161,9 +187,8 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             total = rec_weight * rec + errG
             return total, (rec, errG, gv2)
 
-        pview = gparams_view(gvars)
-        (total, (rec, errG, gv_new)), grads_g = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(pview)
+        (total, (rec, errG, gv_new)), grads_g, pview = g_value_and_grad(
+            gvars, g_loss_fn)
         upd_g, opt_g = tx_g.update(grads_g, opt_g, pview)
         gvars = merge_gparams(gv_new, optax.apply_updates(pview, upd_g))
 

@@ -79,7 +79,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
                                     lrs, cfg.grad_clip)
 
-    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d)
+    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
+                                group_plan=(module_labels, body_labels))
 
     # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB) ----
     place = None
