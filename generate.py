@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train-all", action="store_true", default=False)
     p.add_argument("--no-cuda", action="store_true", default=False)
     p.add_argument("--bf16", action="store_true", default=False)
+    # extrapolation: generate at a multiple of the training geometry
+    # (fully-convolutional pyramid; BASELINE config 5)
+    p.add_argument("--h-factor", type=float, default=1.0)
+    p.add_argument("--w-factor", type=float, default=1.0)
+    p.add_argument("--t-factor", type=float, default=1.0)
+    # multi-seed generation sharded over the device mesh
+    p.add_argument("--mesh-shape", type=str, default="",
+                   help="shard the sample batch over a device mesh, e.g. 8")
     return p
 
 
@@ -97,6 +105,12 @@ def main() -> None:
     root_key = jax.random.PRNGKey(args.manualSeed)
     G = make_generator(cfg.generator, cfg, pyramid, ndim=ndim)
     gvars = G.init(jax.random.fold_in(root_key, 7), batch_size=1)
+    # sampling generator — possibly over an extrapolated pyramid
+    if (args.h_factor, args.w_factor, args.t_factor) != (1.0, 1.0, 1.0):
+        from hpvaegan_tpu.core.pyramid import ScaledPyramid
+        pyramid = ScaledPyramid(pyramid, args.h_factor, args.w_factor,
+                                args.t_factor)
+        G = make_generator(cfg.generator, cfg, pyramid, ndim=ndim)
     for i in range(scale):
         gvars = G.init_next_stage(gvars, jax.random.fold_in(root_key, 100 + i))
     gvars = restore_file(cfg.netG, target={"scale": 0, "gvars": gvars,
@@ -118,6 +132,13 @@ def main() -> None:
 
     import functools
 
+    mesh = None
+    if args.mesh_shape:
+        from hpvaegan_tpu.parallel import (make_mesh, parse_mesh_shape,
+                                           shard_batch, shard_gvars)
+        mesh = make_mesh(parse_mesh_shape(args.mesh_shape))
+        gvars = shard_gvars(gvars, mesh)
+
     @functools.partial(jax.jit, static_argnames=())
     def sample_fn(gv, noise, key):
         (out, vae_out, _), _ = G.apply(gv, amps, key, noise_init=noise,
@@ -129,6 +150,9 @@ def main() -> None:
     while produced < args.num_samples:
         key = jax.random.fold_in(root_key, 1000 + batch_idx)
         noise = jax.random.normal(key, noise_shape)
+        if mesh is not None:
+            from hpvaegan_tpu.parallel import shard_batch
+            noise = shard_batch(noise, mesh, ndim)
         out = np.asarray(sample_fn(gvars, noise, jax.random.fold_in(key, 1)))
         for b in range(out.shape[0]):
             if produced >= args.num_samples:

@@ -26,6 +26,7 @@ __all__ = [
     "get_fps",
     "get_time_depth",
     "Pyramid",
+    "ScaledPyramid",
 ]
 
 
@@ -174,3 +175,38 @@ class Pyramid:
 
     def all_shapes2d(self) -> List[Tuple[int, int]]:
         return [self.shape2d(i) for i in range(self.stop_scale + 1)]
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaledPyramid:
+    """Pyramid whose per-level shapes are scaled by constant factors.
+
+    Enables spatial/temporal EXTRAPOLATION at generation time: the models
+    are fully convolutional, so feeding scale-0 noise of k-times the size
+    and upscaling through k-times-larger pyramid targets produces k-times-
+    larger samples.  (The upstream hp-vae-gan paper's extrapolation
+    application; this fork exposes no script for it — SURVEY §5.8.)
+    """
+
+    base: Pyramid
+    h_factor: float = 1.0
+    w_factor: float = 1.0
+    t_factor: float = 1.0
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)
+
+    def td(self, index: int) -> int:
+        return max(1, int(round(self.base.td(index) * self.t_factor)))
+
+    def spatial_size(self, index: int) -> Tuple[int, int]:
+        h, w = self.base.spatial_size(index)
+        return max(1, int(round(h * self.h_factor))), \
+            max(1, int(round(w * self.w_factor)))
+
+    def shape2d(self, index: int) -> Tuple[int, int]:
+        return self.spatial_size(index)
+
+    def shape3d(self, index: int) -> Tuple[int, int, int]:
+        h, w = self.spatial_size(index)
+        return self.td(index), h, w

@@ -60,3 +60,15 @@ def test_stop_scale_time_decoupled():
     # temporal schedule saturates early
     assert pyr.fps_index(3) == 3
     assert pyr.td(3) == 13
+
+
+def test_scaled_pyramid_extrapolation():
+    from hpvaegan_tpu.core.pyramid import ScaledPyramid
+    base = Pyramid.for_video(256, 0.5625, 32, 256, 0.75, [4, 3, 2, 1], 30.0)
+    sp = ScaledPyramid(base, h_factor=2.0, w_factor=1.5, t_factor=2.0)
+    t0, h0, w0 = base.shape3d(0)
+    t1, h1, w1 = sp.shape3d(0)
+    assert (t1, h1, w1) == (round(t0 * 2), round(h0 * 2), round(w0 * 1.5))
+    # untouched attributes delegate to the base pyramid
+    assert sp.stop_scale == base.stop_scale
+    assert sp.fps(3) == base.fps(3)
