@@ -21,6 +21,17 @@ Design notes:
 Training integrates via jax.custom_vjp with an XLA backward that recovers
 the LeakyReLU mask from the sign of the saved output (``conv3d_lrelu``).
 Falls back to the XLA path for T < 3.
+
+Measured on TPU v5e (chained timing, f32, see /tmp history in round-1 log):
+
+  (2, 5, 102, 102, 64->64):  pallas 3.62 ms (6.4 TF/s)   xla 1.11 ms (20.8)
+  (2, 13, 256, 256, 64->64): pallas 19.6 ms (19.2 TF/s)  xla 14.4 ms (26.2)
+  (2, 4, 33, 33, 64->64):    pallas 2.56 ms              xla 1.39 ms
+
+VERDICT: XLA's conv lowering wins at every pyramid shape (main losses here:
+C=64 occupies half the 128-lane MXU, and the per-tap roll+mask VPU work),
+so the production path keeps lax.conv and this kernel stays as a validated
+reference implementation / optimization testbed rather than the default.
 """
 from __future__ import annotations
 
