@@ -94,6 +94,7 @@ class Config:
     # ---- TPU-native extensions (not in the reference) ----
     bf16: bool = False             # bfloat16 conv compute, f32 params/accum
     fast_grads: bool = False       # differentiate trainable params only
+    fused_forwards: bool = False   # batch rec+rand generator forwards
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
     run_dir: str = "run"           # root of the experiment tree
@@ -187,6 +188,9 @@ _COMMON_FLAGS = [
     (["--fast-grads"], dict(action="store_true", default=False, dest="fast_grads",
                             help="differentiate only trainable params (skips backward through "
                                  "frozen stages; clip norm covers trainable grads only)")),
+    (["--fused-forwards"], dict(action="store_true", default=False, dest="fused_forwards",
+                                help="batch the rec+rand generator forwards in the GAN step "
+                                     "(BatchNorm stats over the combined batch)")),
     (["--mesh-shape"], dict(type=str, default="", dest="mesh_shape", help="device mesh, e.g. 2x4 (data x spatial)")),
     (["--spmd"], dict(action="store_true", default=False, help="shard train step over the device mesh")),
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),

@@ -228,15 +228,17 @@ class SNConv(nn.Module):
         kernel = self.param("kernel", torch_kernel_init, kshape)
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
 
-        rest = int(np.prod(kshape[:-1]))
         u_var = self.variable(
             "spectral", "u",
             lambda: _l2normalize(jax.random.normal(self.make_rng("params"),
                                                    (self.features,))))
+        # v is derived from the kernel at init (v = normalize(W^T u), the
+        # first half of a power-iteration step) — an independent random v
+        # would give sigma = u^T W v ~ 0 and explode the normalized weights
         v_var = self.variable(
             "spectral", "v",
-            lambda: _l2normalize(jax.random.normal(self.make_rng("params"),
-                                                   (rest,))))
+            lambda: _l2normalize(
+                kernel.reshape(-1, kernel.shape[-1]) @ u_var.value))
 
         sigma = spectral_sigma(kernel, u_var.value, v_var.value)
         kernel_n = kernel / sigma

@@ -170,6 +170,51 @@ class GeneratorHPVAEGAN(_PyramidMixin):
             x = jnp.tanh(y + x_up)
         return x, new_body
 
+    def apply_fused(self, gvars: Dict[str, Any], amps: jnp.ndarray,
+                    key: jax.Array, real_zero: jnp.ndarray,
+                    noise_init: jnp.ndarray, train: bool = True):
+        """Rec + rand forwards BATCHED through decoder and stages: one conv
+        dispatch per layer at 2x batch instead of two passes (--fused-
+        forwards).  Semantics identical to two separate passes except that
+        BatchNorm train-mode statistics are computed over the combined
+        [rec | rand] batch — a documented deviation (the two halves see the
+        same params and the same noise keys as the unfused path).
+
+        Returns ((generated, fake, vae_out_rec, (mu, logvar)), new_gvars).
+        """
+        b = real_zero.shape[0]
+        new_gvars = dict(gvars)
+        key, k_rep = jax.random.split(key)
+
+        mu, logvar = self.encoder.apply(gvars["encode"], real_zero)
+        z_vae = reparameterize(k_rep, mu, logvar, train)
+
+        dec_in = jnp.concatenate([z_vae, noise_init], axis=0)
+        vae_raw, new_gvars["decoder"] = _apply_bn_module(
+            self.decoder, gvars["decoder"], dec_in, train)
+        vae_out = jnp.tanh(vae_raw)
+
+        x = vae_out
+        new_body = list(gvars["body"])
+        for idx in range(len(gvars["body"])):
+            if self.cfg.vae_levels == idx + 1 and not self.cfg.train_all:
+                x = jax.lax.stop_gradient(x)
+            x_up = self._upscale(x, idx + 1)
+            if self.noise_all_stages or self.cfg.vae_levels <= idx + 1:
+                key, k_n = jax.random.split(key)
+                noise = generate_noise(k_n, ref=x_up[b:])
+                noise = jnp.concatenate([jnp.zeros_like(noise), noise],
+                                        axis=0)
+                x_in = x_up + noise * amps[idx + 1]
+            else:
+                x_in = x_up
+            y, new_body[idx] = _apply_bn_module(self.stage_def,
+                                                gvars["body"][idx], x_in,
+                                                train)
+            x = jnp.tanh(y + x_up)
+        new_gvars["body"] = new_body
+        return (x[:b], x[b:], vae_out[:b], (mu, logvar)), new_gvars
+
 
 class GeneratorVAE_nb(_PyramidMixin):
     """Bernoulli-gated variant (networks_3d.py:409-485).  Note its

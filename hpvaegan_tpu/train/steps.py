@@ -91,6 +91,8 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     disc_w = cfg.disc_loss_weight
     lambda_grad = cfg.lambda_grad
     use_fast = bool(getattr(cfg, "fast_grads", False)) and group_plan is not None
+    use_fused = bool(getattr(cfg, "fused_forwards", False)) \
+        and hasattr(G, "apply_fused")
 
     def g_value_and_grad(gvars, loss_of_pview):
         """value_and_grad over the full params view, or — fast path — over
@@ -151,16 +153,32 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         dvars = update_d_spectral(dvars)
 
         # ---- critic step (train_video.py:168-183) ----
-        (fake, _, _), _ = G.apply(gvars, amps, k_fake, noise_init=noise_init,
-                                  mode="rand", train=True)
+        if use_fused:
+            (_, fake, _, _), _ = G.apply_fused(gvars, amps, k_fake,
+                                               real_zero, noise_init,
+                                               train=True)
+        else:
+            (fake, _, _), _ = G.apply(gvars, amps, k_fake,
+                                      noise_init=noise_init, mode="rand",
+                                      train=True)
         fake = jax.lax.stop_gradient(fake)
+        nb = real.shape[0]
 
         def d_loss_fn(dparams):
             dv = merge_dparams(dvars, dparams)
-            out_real, dv = apply_disc(D, dv, real, train=True)
-            errD_real = -jnp.mean(out_real)
-            out_fake, dv = apply_disc(D, dv, fake, train=True)
-            errD_fake = jnp.mean(out_fake)
+            if "batch_stats" not in dvars:
+                # SN critic has no normalization state: real+fake batch into
+                # one forward (identical math, half the dispatches)
+                out, dv = apply_disc(D, dv,
+                                     jnp.concatenate([real, fake], axis=0),
+                                     train=True)
+                errD_real = -jnp.mean(out[:nb])
+                errD_fake = jnp.mean(out[nb:])
+            else:
+                out_real, dv = apply_disc(D, dv, real, train=True)
+                errD_real = -jnp.mean(out_real)
+                out_fake, dv = apply_disc(D, dv, fake, train=True)
+                errD_fake = jnp.mean(out_fake)
             gp = calc_gradient_penalty(
                 lambda x: apply_disc(D, dv, x, train=True)[0],
                 real, fake, lambda_grad, k_gp)
@@ -175,12 +193,16 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         # ---- generator step with the UPDATED critic ----
         def g_loss_fn(params_view):
             gv = merge_gparams(gvars, params_view)
-            (generated, _, _), gv1 = G.apply(gv, amps, k_rec,
-                                             real_zero=real_zero, mode="rec",
-                                             train=True)
-            (fake_g, _, _), gv2 = G.apply(gv1, amps, k_fake,
-                                          noise_init=noise_init, mode="rand",
-                                          train=True)
+            if use_fused:
+                (generated, fake_g, _, _), gv2 = G.apply_fused(
+                    gv, amps, k_fake, real_zero, noise_init, train=True)
+            else:
+                (generated, _, _), gv1 = G.apply(gv, amps, k_rec,
+                                                 real_zero=real_zero,
+                                                 mode="rec", train=True)
+                (fake_g, _, _), gv2 = G.apply(gv1, amps, k_fake,
+                                              noise_init=noise_init,
+                                              mode="rand", train=True)
             rec = mse(generated, real)
             out_fake, _ = apply_disc(D, dvars, fake_g, train=True)
             errG = -jnp.mean(out_fake) * disc_w
