@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--mode", default="rand", choices=["rand", "rec"])
+    p.add_argument("--metrics", action="store_true", default=False,
+                   help="report diversity (rand) / PSNR (rec) metrics")
     p.add_argument("--manualSeed", type=int, default=0)
     # network/pyramid flags — must match training
     p.add_argument("--generator", type=str, default="GeneratorHPVAEGAN")
@@ -145,15 +147,43 @@ def main() -> None:
                                        mode="rand", train=True)
         return out
 
+    @functools.partial(jax.jit, static_argnames=())
+    def reconstruct_fn(gv, real_zero, key):
+        (out, vae_out, _), _ = G.apply(gv, amps, key, real_zero=real_zero,
+                                       mode="rec", train=True)
+        return out
+
+    # rec mode: reconstruct from the real sample's zero-scale clip
+    real_zero = real_top = None
+    if args.mode == "rec":
+        rng = np.random.default_rng(args.manualSeed)
+        if ndim == 3:
+            cfg.scale_idx = scale
+            cfg.fps_index = pyramid.fps_index(scale)
+            dataset.generate_frames(scale)
+            cur, zero = dataset.get(0, hflip=False)
+        else:
+            cur, zero = dataset.get(0, scale, hflip=False)
+        if zero is None:
+            zero = cur
+        real_zero = jnp.asarray(np.stack([zero] * args.batch_size))
+        real_top = np.stack([cur] * args.batch_size)
+
     produced = 0
     batch_idx = 0
+    all_samples = []
     while produced < args.num_samples:
         key = jax.random.fold_in(root_key, 1000 + batch_idx)
-        noise = jax.random.normal(key, noise_shape)
-        if mesh is not None:
-            from hpvaegan_tpu.parallel import shard_batch
-            noise = shard_batch(noise, mesh, ndim)
-        out = np.asarray(sample_fn(gvars, noise, jax.random.fold_in(key, 1)))
+        if args.mode == "rec":
+            out = np.asarray(reconstruct_fn(gvars, real_zero,
+                                            jax.random.fold_in(key, 1)))
+        else:
+            noise = jax.random.normal(key, noise_shape)
+            if mesh is not None:
+                from hpvaegan_tpu.parallel import shard_batch
+                noise = shard_batch(noise, mesh, ndim)
+            out = np.asarray(sample_fn(gvars, noise,
+                                       jax.random.fold_in(key, 1)))
         for b in range(out.shape[0]):
             if produced >= args.num_samples:
                 break
@@ -167,9 +197,20 @@ def main() -> None:
                 img = (np.clip(out[b], -1, 1) + 1.0) * 127.5
                 cv2.imwrite(os.path.join(out_dir, f"sample_{produced}.png"),
                             np.uint8(img[:, :, ::-1]))
+            all_samples.append(out[b])
             produced += 1
         batch_idx += 1
     logging.info(f"wrote {produced} samples to {out_dir}")
+
+    if args.metrics:
+        from hpvaegan_tpu.eval import diversity_score, reconstruction_psnr
+        if args.mode == "rec" and real_top is not None:
+            val = reconstruction_psnr(np.stack(all_samples),
+                                      np.stack([real_top[0]] * produced))
+            logging.info(f"reconstruction PSNR: {val:.2f} dB")
+        else:
+            val = diversity_score(np.stack(all_samples))
+            logging.info(f"sample diversity (mean pairwise L1): {val:.4f}")
 
 
 if __name__ == "__main__":

@@ -95,6 +95,7 @@ class Config:
     bf16: bool = False             # bfloat16 conv compute, f32 params/accum
     fast_grads: bool = False       # differentiate trainable params only
     fused_forwards: bool = False   # batch rec+rand generator forwards
+    profile_dir: str = ""          # jax.profiler trace output dir
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
     run_dir: str = "run"           # root of the experiment tree
@@ -194,6 +195,8 @@ _COMMON_FLAGS = [
     (["--mesh-shape"], dict(type=str, default="", dest="mesh_shape", help="device mesh, e.g. 2x4 (data x spatial)")),
     (["--spmd"], dict(action="store_true", default=False, help="shard train step over the device mesh")),
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),
+    (["--profile-dir"], dict(type=str, default="", dest="profile_dir",
+                             help="write a jax.profiler trace of iterations 5-15 of each scale")),
 ]
 
 _VIDEO_FLAGS = [

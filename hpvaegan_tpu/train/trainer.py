@@ -105,8 +105,20 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
     noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else cfg.noise_amp_init
     metrics: Dict[str, Any] = {}
+    profiling = False
     try:
         for iteration in bar:
+            # optional XLA trace of a steady-state window (SURVEY §5.1)
+            if cfg.profile_dir:
+                import jax.profiler as _prof
+                if iteration == 5:
+                    _prof.start_trace(
+                        f"{cfg.profile_dir}/scale_{scale_idx}")
+                    profiling = True
+                elif iteration == 15 and profiling:
+                    jax.block_until_ready(metrics)
+                    _prof.stop_trace()
+                    profiling = False
             it_key = jax.random.fold_in(key, iteration)
             k_noise, k_step, k_vis = jax.random.split(it_key, 3)
             real, real_zero = next(loader)
@@ -176,6 +188,9 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                     _visualize(cfg, G, gvars, steps, amps, real, real_zero,
                                noise_init, k_vis, summary, ndim, iteration)
     finally:
+        if profiling:
+            import jax.profiler as _prof
+            _prof.stop_trace()
         loader.close()
         bar.close()
 
