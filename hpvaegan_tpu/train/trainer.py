@@ -19,7 +19,7 @@ import numpy as np
 
 from ..data.loader import BatchLoader
 from ..models.registry import make_discriminator
-from ..utils import LoggingBlock, create_progressbar
+from ..utils import create_progressbar
 from .optim import (build_d_optimizer, build_g_optimizer, dparams_view,
                     gparams_view, hpvaegan_group_plan)
 from .steps import make_hpvaegan_steps
@@ -166,8 +166,9 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
             # ---- TensorBoard (train_video.py:210-241) ----
             if cfg.visualize and summary is not None:
-                tag = f"Video/Scale {scale_idx}" if ndim == 3 \
-                    else f"Video/Scale {scale_idx}"
+                # the reference uses 'Video/Scale {s}' tags in BOTH trainers
+                # (train_image.py:227 quirk) — kept
+                tag = f"Video/Scale {scale_idx}"
                 summary.add_scalar(f"{tag}/noise_amp", noise_amp, iteration)
                 if not gan_phase:
                     summary.add_scalar(f"{tag}/KLD", metrics["kl_loss"],
