@@ -274,17 +274,21 @@ def spectral_update(params: dict, spectral: dict, n_iter: int = 1) -> dict:
     order: v <- normalize(W^T u); u <- normalize(W v)  (per iteration).
     Pure function: returns the new spectral tree.
     """
+    def iterate(kernel, u, v):
+        w = kernel.reshape(-1, kernel.shape[-1]).T  # (out, rest)
+        for _ in range(n_iter):
+            v = _l2normalize(w.T @ u)
+            u = _l2normalize(w @ v)
+        return {"u": u, "v": v}
+
+    if _is_uv_leaf(spectral):  # a bare SNConv's own collection
+        return iterate(params["kernel"], spectral["u"], spectral["v"])
+
     def walk(p: dict, s: dict) -> dict:
         out = {}
         for key, sval in s.items():
             if _is_uv_leaf(sval):
-                kernel = p[key]["kernel"]
-                w = kernel.reshape(-1, kernel.shape[-1]).T  # (out, rest)
-                u, v = sval["u"], sval["v"]
-                for _ in range(n_iter):
-                    v = _l2normalize(w.T @ u)
-                    u = _l2normalize(w @ v)
-                out[key] = {"u": u, "v": v}
+                out[key] = iterate(p[key]["kernel"], sval["u"], sval["v"])
             elif isinstance(sval, dict):
                 out[key] = walk(p.get(key, {}), sval)
             else:
