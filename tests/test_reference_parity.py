@@ -193,3 +193,103 @@ def test_full_generator_rand_forward_parity(ref_setup, ours_setup):
     np.testing.assert_allclose(np.asarray(out),
                                out_t.numpy().transpose(0, 2, 3, 1),
                                rtol=2e-3, atol=5e-4)
+
+
+def test_wgan_gp_critic_grads_parity(ref_setup):
+    """Critic-update gradients (errD_real + errD_fake + gradient penalty,
+    incl. the double backprop) match the reference's calc_gradient_penalty
+    with copied weights and the same interpolation alpha."""
+    import argparse
+    from unittest import mock
+
+    import torch
+    networks_2d = _import_reference_networks_2d()
+    from modules.utils import calc_gradient_penalty as ref_gp
+
+    opt, _ = ref_setup
+    torch.manual_seed(1)
+    netD = networks_2d.WDiscriminator2D(opt)
+    netD.train()
+
+    # run one torch forward to let spectral-norm settle its u/v ONCE, then
+    # freeze power iterations on both sides for a deterministic comparison
+    with torch.no_grad():
+        _ = netD(torch.zeros(1, 3, 10, 10))
+
+    from hpvaegan_tpu.models.registry import make_discriminator
+    from hpvaegan_tpu.core.config import Config
+    from hpvaegan_tpu.losses import calc_gradient_penalty, mse
+    from hpvaegan_tpu.train.optim import dparams_view, merge_dparams
+    from hpvaegan_tpu.train.steps import apply_disc
+
+    cfg = Config(nfc=8, latent_dim=8, num_layer=2, enc_blocks=1, min_size=8,
+                 max_size=16, img_size=16, vae_levels=2, ker_size=3)
+    D = make_discriminator("WDiscriminator2D", cfg, 2)
+    dvars = dict(D.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 10, 3))))
+
+    # ---- copy critic weights + spectral buffers torch -> ours ----
+    params, spectral = {}, {}
+    for name, mod in list(netD.named_children()):
+        if name == "tail":
+            sd = mod.state_dict()
+            params["tail"] = {"conv": {
+                "kernel": jnp.asarray(_t2f_conv(sd["weight"])),
+                "bias": jnp.asarray(np.asarray(sd["bias"]))}}
+        elif name == "head":
+            p, s = _copy_snconv(mod)
+            params["head"], spectral["head"] = p, s
+        else:  # body Sequential of SN blocks
+            for bname, bmod in mod.named_children():
+                p, s = _copy_snconv(bmod)
+                params[bname], spectral[bname] = p, s
+    dvars = {"params": params, "spectral": spectral}
+
+    rng = np.random.default_rng(3)
+    real = rng.standard_normal((2, 10, 10, 3)).astype(np.float32)
+    fake = rng.standard_normal((2, 10, 10, 3)).astype(np.float32)
+    alpha = 0.37
+    lam = 0.1
+
+    # ---- ours ----
+    def d_loss(dp):
+        dv = merge_dparams(dvars, dp)
+        out_r, _ = apply_disc(D, dv, jnp.asarray(real), train=True)
+        out_f, _ = apply_disc(D, dv, jnp.asarray(fake), train=True)
+        interp = alpha * jnp.asarray(real) + (1 - alpha) * jnp.asarray(fake)
+        grads_x = jax.grad(
+            lambda x: jnp.sum(apply_disc(D, dv, x, train=True)[0]))(interp)
+        gnorm = jnp.sqrt(jnp.sum(jnp.square(grads_x), axis=-1))
+        gp = jnp.mean(jnp.square(gnorm - 1.0)) * lam
+        return -jnp.mean(out_r) + jnp.mean(out_f) + gp
+
+    ours_grads = jax.grad(d_loss)(dparams_view(dvars))
+
+    # ---- reference (freeze power iteration: eval-mode SN uses stored u/v;
+    # the reference runs D in train mode, but with identical pre-settled u/v
+    # one extra iteration changes sigma on both sides identically is not
+    # reproducible in jax, so compare in eval mode on the torch side while
+    # our side reads the same stored u/v) ----
+    netD.eval()
+    real_t = torch.from_numpy(real.transpose(0, 3, 1, 2)).requires_grad_(False)
+    fake_t = torch.from_numpy(fake.transpose(0, 3, 1, 2))
+    errD_real = -netD(real_t).mean()
+    errD_fake = netD(fake_t).mean()
+    with mock.patch("torch.rand", return_value=torch.tensor([[alpha]])):
+        gp_t = ref_gp(netD, real_t, fake_t, lam, "cpu")
+    total = errD_real + errD_fake + gp_t
+    netD.zero_grad()
+    total.backward()
+
+    # compare a representative kernel grad (head) and the tail bias grad
+    head_grad_t = None
+    for n, p in netD.named_parameters():
+        if n == "head.conv.weight_orig":
+            head_grad_t = p.grad.numpy().transpose(2, 3, 1, 0)
+        if n == "tail.bias":
+            tail_bias_t = p.grad.numpy()
+    np.testing.assert_allclose(
+        np.asarray(ours_grads["head"]["kernel"]), head_grad_t,
+        rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours_grads["tail"]["conv"]["bias"]), tail_bias_t,
+        rtol=5e-3, atol=5e-4)
