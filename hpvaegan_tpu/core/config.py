@@ -96,6 +96,7 @@ class Config:
     fast_grads: bool = False       # differentiate trainable params only
     fused_forwards: bool = False   # batch rec+rand generator forwards
     profile_dir: str = ""          # jax.profiler trace output dir
+    scan_steps: int = 1            # iterations per dispatch (lax.scan)
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
     run_dir: str = "run"           # root of the experiment tree
@@ -197,6 +198,9 @@ _COMMON_FLAGS = [
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),
     (["--profile-dir"], dict(type=str, default="", dest="profile_dir",
                              help="write a jax.profiler trace of iterations 5-15 of each scale")),
+    (["--scan-steps"], dict(type=int, default=1, dest="scan_steps",
+                            help="run K iterations per device dispatch via lax.scan "
+                                 "(amortizes dispatch overhead; metrics/TB update every K)")),
 ]
 
 _VIDEO_FLAGS = [

@@ -120,11 +120,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                                          train=True)
         return jnp.sqrt(mse(real, out)), new_gvars
 
-    # Buffer donation: the previous step's params/optimizer/state buffers are
-    # dead after each call — donating them lets XLA update in place instead
-    # of allocating fresh HBM every iteration.
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def vae_step(gvars, opt_g, real, real_zero, amps, key):
+    def _vae_body(gvars, opt_g, real, real_zero, amps, key):
         gvars = update_g_spectral(gvars)
 
         def loss_fn(params_view):
@@ -145,9 +141,28 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         metrics = {"loss": total, "rec_vae_loss": rec_vae, "kl_loss": kl}
         return gvars, opt_g, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def gan_step(gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
-                 amps, key):
+    # Buffer donation: the previous step's params/optimizer/state buffers are
+    # dead after each call — donating them lets XLA update in place instead
+    # of allocating fresh HBM every iteration.
+    vae_step = functools.partial(jax.jit, donate_argnums=(0, 1))(_vae_body)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def vae_scan_step(gvars, opt_g, reals, real_zeros, amps, keys):
+        """K iterations in one dispatch (lax.scan) — amortizes per-step
+        overhead; batches are pre-stacked (K, B, ...)."""
+        def body(carry, xs):
+            gv, og = carry
+            real, rz, k = xs
+            gv, og, m = _vae_body(gv, og, real, rz, amps, k)
+            return (gv, og), m
+
+        (gvars, opt_g), ms = jax.lax.scan(body, (gvars, opt_g),
+                                          (reals, real_zeros, keys))
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        return gvars, opt_g, metrics
+
+    def _gan_body(gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
+                  amps, key):
         k_fake, k_gp, k_rec = jax.random.split(key, 3)
         gvars = update_g_spectral(gvars)
         dvars = update_d_spectral(dvars)
@@ -219,6 +234,26 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                    "gradient_penalty": gp}
         return gvars, dvars, opt_g, opt_d, metrics
 
+    gan_step = functools.partial(jax.jit,
+                                 donate_argnums=(0, 1, 2, 3))(_gan_body)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def gan_scan_step(gvars, dvars, opt_g, opt_d, reals, real_zeros,
+                      noise_inits, amps, keys):
+        """K GAN iterations in one dispatch (lax.scan)."""
+        def body(carry, xs):
+            gv, dv, og, od = carry
+            real, rz, ni, k = xs
+            gv, dv, og, od, m = _gan_body(gv, dv, og, od, real, rz, ni,
+                                          amps, k)
+            return (gv, dv, og, od), m
+
+        (gvars, dvars, opt_g, opt_d), ms = jax.lax.scan(
+            body, (gvars, dvars, opt_g, opt_d),
+            (reals, real_zeros, noise_inits, keys))
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        return gvars, dvars, opt_g, opt_d, metrics
+
     @functools.partial(jax.jit, static_argnames=("train",))
     def sample(gvars, noise_init, amps, key, train=True):
         """rand-mode generation (visualization path, train_video.py:226-241
@@ -237,6 +272,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         return out, vae_out
 
     return dict(calibrate=calibrate, vae_step=vae_step, gan_step=gan_step,
+                vae_scan_step=vae_scan_step, gan_scan_step=gan_scan_step,
                 sample=sample, reconstruct=reconstruct)
 
 

@@ -100,33 +100,33 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                          scale_idx=scale_idx, device=place)
 
     bar = create_progressbar(
-        iterable=range(cfg.niter),
+        total=cfg.niter,
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
 
     noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else cfg.noise_amp_init
     metrics: Dict[str, Any] = {}
     profiling = False
+    scan_k = max(1, int(getattr(cfg, "scan_steps", 1)))
+    iteration = 0
     try:
-        for iteration in bar:
+        while iteration < cfg.niter:
             # optional XLA trace of a steady-state window (SURVEY §5.1)
             if cfg.profile_dir:
                 import jax.profiler as _prof
-                if iteration == 5:
+                if iteration >= 5 and not profiling and iteration < 15:
                     _prof.start_trace(
                         f"{cfg.profile_dir}/scale_{scale_idx}")
                     profiling = True
-                elif iteration == 15 and profiling:
+                elif iteration >= 15 and profiling:
                     jax.block_until_ready(metrics)
                     _prof.stop_trace()
                     profiling = False
             it_key = jax.random.fold_in(key, iteration)
             k_noise, k_step, k_vis = jax.random.split(it_key, 3)
-            real, real_zero = next(loader)
-
-            noise_init = jax.random.normal(k_noise, tuple(cfg.Z_init_size))
 
             # ---- iteration-0 noise-amp calibration (train_video.py:131-145)
             if iteration == 0:
+                real, real_zero = next(loader)
                 if len(cfg.Noise_Amps) >= scale_idx + 1:
                     # Resuming a scale whose amp was already calibrated:
                     # reuse it.  (Conscious fix of a reference bug — the
@@ -151,43 +151,85 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
             amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
 
-            # ---- one fused step ----
-            if gan_phase:
-                gvars, dvars, opt_g, opt_d, metrics = steps["gan_step"](
-                    gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
-                    amps, k_step)
-            else:
-                gvars, opt_g, metrics = steps["vae_step"](
-                    gvars, opt_g, real, real_zero, amps, k_step)
+            # ---- chunk size: scan k iterations per dispatch, stopping at
+            # print-interval boundaries so visualization cadence holds ----
+            k = min(scan_k, cfg.niter - iteration)
+            if cfg.visualize and cfg.print_interval > 0:
+                next_boundary = ((iteration // cfg.print_interval) + 1) \
+                    * cfg.print_interval
+                k = max(1, min(k, next_boundary - iteration))
 
+            if k == 1:
+                if iteration > 0:
+                    real, real_zero = next(loader)
+                noise_init = jax.random.normal(k_noise,
+                                               tuple(cfg.Z_init_size))
+                if gan_phase:
+                    gvars, dvars, opt_g, opt_d, metrics = steps["gan_step"](
+                        gvars, dvars, opt_g, opt_d, real, real_zero,
+                        noise_init, amps, k_step)
+                else:
+                    gvars, opt_g, metrics = steps["vae_step"](
+                        gvars, opt_g, real, real_zero, amps, k_step)
+            else:
+                batches = ([(real, real_zero)] if iteration == 0 else [])
+                while len(batches) < k:
+                    batches.append(next(loader))
+                reals = jnp.stack([b[0] for b in batches])
+                rzs = jnp.stack([b[1] for b in batches])
+                step_keys = jnp.stack([
+                    jax.random.split(jax.random.fold_in(key, iteration + j),
+                                     3)[1] for j in range(k)])
+                if gan_phase:
+                    noise_keys = [jax.random.split(
+                        jax.random.fold_in(key, iteration + j), 3)[0]
+                        for j in range(k)]
+                    noise_inits = jnp.stack([
+                        jax.random.normal(nk, tuple(cfg.Z_init_size))
+                        for nk in noise_keys])
+                    gvars, dvars, opt_g, opt_d, metrics = \
+                        steps["gan_scan_step"](gvars, dvars, opt_g, opt_d,
+                                               reals, rzs, noise_inits, amps,
+                                               step_keys)
+                else:
+                    gvars, opt_g, metrics = steps["vae_scan_step"](
+                        gvars, opt_g, reals, rzs, amps, step_keys)
+                real, real_zero = batches[-1]
+                noise_init = jax.random.normal(k_noise,
+                                               tuple(cfg.Z_init_size))
+
+            it_logged = iteration + k - 1  # last iteration of this chunk
+            bar.update(k)
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
-                f"Iteration [{iteration + 1}/{cfg.niter}]")
+                f"Iteration [{it_logged + 1}/{cfg.niter}]")
 
             # ---- TensorBoard (train_video.py:210-241) ----
             if cfg.visualize and summary is not None:
                 # the reference uses 'Video/Scale {s}' tags in BOTH trainers
                 # (train_image.py:227 quirk) — kept
                 tag = f"Video/Scale {scale_idx}"
-                summary.add_scalar(f"{tag}/noise_amp", noise_amp, iteration)
+                summary.add_scalar(f"{tag}/noise_amp", noise_amp, it_logged)
                 if not gan_phase:
                     summary.add_scalar(f"{tag}/KLD", metrics["kl_loss"],
-                                       iteration)
+                                       it_logged)
                     summary.add_scalar(f"{tag}/Rec VAE",
-                                       metrics["rec_vae_loss"], iteration)
+                                       metrics["rec_vae_loss"], it_logged)
                 else:
                     summary.add_scalar(f"{tag}/rec loss",
-                                       metrics["rec_loss"], iteration)
+                                       metrics["rec_loss"], it_logged)
                     summary.add_scalar(f"{tag}/errG", metrics["errG"],
-                                       iteration)
+                                       it_logged)
                     summary.add_scalar(f"{tag}/errD_fake",
-                                       metrics["errD_fake"], iteration)
+                                       metrics["errD_fake"], it_logged)
                     summary.add_scalar(f"{tag}/errD_real",
-                                       metrics["errD_real"], iteration)
+                                       metrics["errD_real"], it_logged)
 
                 if iteration % cfg.print_interval == 0:
                     _visualize(cfg, G, gvars, steps, amps, real, real_zero,
                                noise_init, k_vis, summary, ndim, iteration)
+
+            iteration += k
     finally:
         if profiling:
             import jax.profiler as _prof

@@ -29,8 +29,8 @@ class _LoggedTqdm(tqdm):
 def create_progressbar(iterable=None, desc: str = "", train: bool = False,
                        offset: int = 0, logging_on_update: bool = False,
                        logging_on_close: bool = True, postfix: bool = False,
-                       **kwargs):
-    return _LoggedTqdm(iterable=iterable, desc=desc,
+                       total=None, **kwargs):
+    return _LoggedTqdm(iterable=iterable, total=total, desc=desc,
                        logging_on_close=logging_on_close,
                        logging_on_update=logging_on_update,
                        dynamic_ncols=True, smoothing=0.3)
