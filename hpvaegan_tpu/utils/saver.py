@@ -48,7 +48,20 @@ def restore_file(path: str, target: Any = None) -> Any:
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device -> host with retry: remote TPU transports can throw transient
+    errors on fetch (observed once through the axon relay)."""
+    import time
+
+    def fetch(x):
+        for attempt in range(3):
+            try:
+                return np.asarray(x)
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(1.0 + attempt)
+
+    return jax.tree_util.tree_map(fetch, tree)
 
 
 class Saver:
