@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     # multi-seed generation sharded over the device mesh
     p.add_argument("--mesh-shape", type=str, default="",
                    help="shard the sample batch over a device mesh, e.g. 8")
+    # pyramid injection (the reference's unused sample_init hook,
+    # networks_3d.py:368-380): refine the REAL sample from level K upward —
+    # the paper's editing/harmonization application surface
+    p.add_argument("--inject-scale", type=int, default=-1,
+                   help="start refinement from the real sample at this "
+                        "pyramid level (rand mode above it)")
     return p
 
 
@@ -152,6 +158,52 @@ def main() -> None:
         (out, vae_out, _), _ = G.apply(gv, amps, key, real_zero=real_zero,
                                        mode="rec", train=True)
         return out
+
+    @functools.partial(jax.jit, static_argnames=("start",))
+    def inject_fn(gv, x_init, key, start):
+        (out, _, _), _ = G.apply(gv, amps, key, noise_init=jnp.zeros(
+            (x_init.shape[0], *noise_shape[1:])),
+            sample_init=(start, x_init), mode="rand", train=True)
+        return out
+
+    if args.inject_scale >= 0:
+        s0 = args.inject_scale
+        if s0 >= scale + 1 or s0 >= len(gvars["body"]):
+            raise ValueError(
+                f"--inject-scale {s0} out of range: checkpoint was trained "
+                f"to scale {scale} with {len(gvars['body'])} body stages")
+        if ndim == 3:
+            cfg.scale_idx = s0
+            cfg.fps_index = pyramid.fps_index(s0)
+            dataset.generate_frames(s0)
+            cur, _ = dataset.get(0, hflip=False)
+        else:
+            cur, _ = dataset.get(0, s0, hflip=False)
+        x_init = jnp.asarray(np.stack([cur] * args.batch_size))
+        produced = 0
+        batch_idx = 0
+        while produced < args.num_samples:
+            key = jax.random.fold_in(root_key, 3000 + batch_idx)
+            out = np.asarray(inject_fn(gvars, x_init, key, s0))
+            for b in range(out.shape[0]):
+                if produced >= args.num_samples:
+                    break
+                if ndim == 3:
+                    write_video(out[b],
+                                os.path.join(out_dir,
+                                             f"inject_{produced}.avi"),
+                                pyramid.fps(scale))
+                else:
+                    import cv2
+                    img = (np.clip(out[b], -1, 1) + 1.0) * 127.5
+                    cv2.imwrite(
+                        os.path.join(out_dir, f"inject_{produced}.png"),
+                        np.uint8(img[:, :, ::-1]))
+                produced += 1
+            batch_idx += 1
+        logging.info(f"wrote {produced} injected samples (from level {s0}) "
+                     f"to {out_dir}")
+        return
 
     # rec mode: reconstruct from the real sample's zero-scale clip
     real_zero = real_top = None

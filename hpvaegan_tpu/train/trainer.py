@@ -97,7 +97,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
     loader = BatchLoader(dataset, cfg.batch_size,
                          seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-                         scale_idx=scale_idx, device=place)
+                         scale_idx=scale_idx, device=place,
+                         prefetch=max(2, int(getattr(cfg, "scan_steps", 1))))
 
     bar = create_progressbar(
         total=cfg.niter,
