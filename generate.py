@@ -166,9 +166,18 @@ def main() -> None:
             sample_init=(start, x_init), mode="rand", train=True)
         return out
 
+    def write_sample(frame, path_base):
+        """[-1,1] sample -> .avi (3D) or .png (2D)."""
+        if ndim == 3:
+            write_video(frame, path_base + ".avi", pyramid.fps(scale))
+        else:
+            import cv2
+            img = (np.clip(frame, -1, 1) + 1.0) * 127.5
+            cv2.imwrite(path_base + ".png", np.uint8(img[:, :, ::-1]))
+
     if args.inject_scale >= 0:
         s0 = args.inject_scale
-        if s0 >= scale + 1 or s0 >= len(gvars["body"]):
+        if s0 >= len(gvars["body"]):
             raise ValueError(
                 f"--inject-scale {s0} out of range: checkpoint was trained "
                 f"to scale {scale} with {len(gvars['body'])} body stages")
@@ -182,27 +191,24 @@ def main() -> None:
         x_init = jnp.asarray(np.stack([cur] * args.batch_size))
         produced = 0
         batch_idx = 0
+        injected = []
         while produced < args.num_samples:
             key = jax.random.fold_in(root_key, 3000 + batch_idx)
             out = np.asarray(inject_fn(gvars, x_init, key, s0))
             for b in range(out.shape[0]):
                 if produced >= args.num_samples:
                     break
-                if ndim == 3:
-                    write_video(out[b],
-                                os.path.join(out_dir,
-                                             f"inject_{produced}.avi"),
-                                pyramid.fps(scale))
-                else:
-                    import cv2
-                    img = (np.clip(out[b], -1, 1) + 1.0) * 127.5
-                    cv2.imwrite(
-                        os.path.join(out_dir, f"inject_{produced}.png"),
-                        np.uint8(img[:, :, ::-1]))
+                write_sample(out[b],
+                             os.path.join(out_dir, f"inject_{produced}"))
+                injected.append(out[b])
                 produced += 1
             batch_idx += 1
         logging.info(f"wrote {produced} injected samples (from level {s0}) "
                      f"to {out_dir}")
+        if args.metrics:
+            from hpvaegan_tpu.eval import diversity_score
+            logging.info(f"sample diversity (mean pairwise L1): "
+                         f"{diversity_score(np.stack(injected)):.4f}")
         return
 
     # rec mode: reconstruct from the real sample's zero-scale clip
@@ -239,16 +245,7 @@ def main() -> None:
         for b in range(out.shape[0]):
             if produced >= args.num_samples:
                 break
-            if ndim == 3:
-                fps = pyramid.fps(scale)
-                write_video(out[b], os.path.join(out_dir,
-                                                 f"sample_{produced}.avi"),
-                            fps)
-            else:
-                import cv2
-                img = (np.clip(out[b], -1, 1) + 1.0) * 127.5
-                cv2.imwrite(os.path.join(out_dir, f"sample_{produced}.png"),
-                            np.uint8(img[:, :, ::-1]))
+            write_sample(out[b], os.path.join(out_dir, f"sample_{produced}"))
             all_samples.append(out[b])
             produced += 1
         batch_idx += 1

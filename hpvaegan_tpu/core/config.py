@@ -97,6 +97,7 @@ class Config:
     fused_forwards: bool = False   # batch rec+rand generator forwards
     profile_dir: str = ""          # jax.profiler trace output dir
     scan_steps: int = 1            # iterations per dispatch (lax.scan)
+    distributed: bool = False      # multi-host jax.distributed.initialize
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
     run_dir: str = "run"           # root of the experiment tree
@@ -201,6 +202,8 @@ _COMMON_FLAGS = [
     (["--scan-steps"], dict(type=int, default=1, dest="scan_steps",
                             help="run K iterations per device dispatch via lax.scan "
                                  "(amortizes dispatch overhead; metrics/TB update every K)")),
+    (["--distributed"], dict(action="store_true", default=False,
+                             help="multi-host: jax.distributed.initialize() at startup")),
 ]
 
 _VIDEO_FLAGS = [

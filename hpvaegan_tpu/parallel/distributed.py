@@ -4,48 +4,43 @@ DataParallel).
 
 Single-slice TPU pods need no explicit setup — ``jax.devices()`` sees every
 chip on the host and the mesh in ``parallel/mesh.py`` covers them.  For
-multi-host (pod slices / multi-slice DCN), call ``maybe_initialize`` once at
-entry-point startup: it wires jax.distributed from the standard TPU
-environment (or explicit coordinator args) and returns the process info.
-
-This path cannot be exercised in a single-host environment; it is thin
-plumbing over ``jax.distributed.initialize`` kept separate so the trainers
-stay host-count agnostic: global batch stays sharded over the 'data' mesh
-axis, and gradient all-reduces ride the same sharded-autodiff collectives
-regardless of process count.
+multi-host (pod slices / multi-slice DCN) the trainers call
+``maybe_initialize(cfg.distributed, ...)`` at startup (--distributed flag):
+with no explicit coordinator it uses jax.distributed's no-arg
+auto-detection (the standard Cloud TPU pod path).  Initialization failures
+PROPAGATE — a half-initialized pod silently training N divergent
+single-process runs is far worse than failing fast; only the benign
+"already initialized" case is swallowed.
 """
 from __future__ import annotations
 
 import logging
-import os
 from typing import Optional, Tuple
 
 __all__ = ["maybe_initialize"]
 
 
-def maybe_initialize(coordinator_address: Optional[str] = None,
+def maybe_initialize(enable: bool,
+                     coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> Tuple[int, int]:
-    """Initialize jax.distributed when running multi-host; no-op otherwise.
+    """Initialize jax.distributed when ``enable`` is set; no-op otherwise.
 
     Returns (process_index, process_count).
     """
     import jax
 
-    explicit = coordinator_address is not None
-    env_hint = any(k in os.environ for k in
-                   ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
-    if explicit or env_hint:
+    if enable:
         kwargs = {}
-        if explicit:
+        if coordinator_address is not None:
             kwargs = dict(coordinator_address=coordinator_address,
                           num_processes=num_processes,
                           process_id=process_id)
         try:
             jax.distributed.initialize(**kwargs)
-            logging.info(
-                f"jax.distributed initialized: process "
-                f"{jax.process_index()}/{jax.process_count()}")
-        except Exception as exc:  # already initialized / single host
-            logging.warning(f"jax.distributed.initialize skipped: {exc}")
+        except RuntimeError as exc:
+            if "already" not in str(exc).lower():
+                raise
+        logging.info(f"jax.distributed: process "
+                     f"{jax.process_index()}/{jax.process_count()}")
     return jax.process_index(), jax.process_count()

@@ -28,6 +28,9 @@ def main() -> None:
     parser = build_parser("video")
     cfg = config_from_args(parser.parse_args())
 
+    from hpvaegan_tpu.parallel import maybe_initialize
+    maybe_initialize(cfg.distributed)
+
     assert cfg.vae_levels > 0
     assert cfg.disc_loss_weight > 0
 

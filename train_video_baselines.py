@@ -26,6 +26,9 @@ def main() -> None:
     parser = build_parser("video_baselines")
     cfg = config_from_args(parser.parse_args())
 
+    from hpvaegan_tpu.parallel import maybe_initialize
+    maybe_initialize(cfg.distributed)
+
     saver = VideoSaver(cfg)
     summary = TensorboardSummary(saver.experiment_dir)
     configure_logging(os.path.join(saver.experiment_dir, "logbook.txt"))
