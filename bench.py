@@ -183,7 +183,6 @@ def bench_reference(warmup: int = 1, iters: int = 3) -> float:
     optimizerD = optim.Adam(netD.parameters(), lr=opt.lr_d,
                             betas=(opt.beta1, 0.999))
 
-    _, td0, _ = ref_utils.get_fps_td_by_index(0, opt), None, None
     fps0, td0, _ = ref_utils.get_fps_td_by_index(0, opt)
     fps_s, td_s, _ = ref_utils.get_fps_td_by_index(SCALE_IDX, opt)
     size0 = ref_utils.get_scales_by_index(0, opt.scale_factor,

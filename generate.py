@@ -110,6 +110,13 @@ def main() -> None:
     scale = int(raw["scale"])
     cfg.scale_idx = scale
 
+    if cfg.generator not in ("GeneratorHPVAEGAN", "GeneratorCSG",
+                             "GeneratorSG"):
+        raise ValueError(
+            f"generate.py supports GeneratorHPVAEGAN and the CSG/SG "
+            f"baselines; {cfg.generator!r} (noise_init_norm/bern interface) "
+            f"is not wired here")
+
     root_key = jax.random.PRNGKey(args.manualSeed)
     G = make_generator(cfg.generator, cfg, pyramid, ndim=ndim)
     gvars = G.init(jax.random.fold_in(root_key, 7), batch_size=1)
@@ -131,12 +138,16 @@ def main() -> None:
                                               "eval")
     os.makedirs(out_dir, exist_ok=True)
 
+    # HPVAEGAN samples latent-dim noise through the decoder; the CSG/SG
+    # baselines sample image-channel noise (train_video_baselines.py:41)
+    is_triple = getattr(G, "returns_triple", True)
+    noise_ch = cfg.latent_dim if is_triple else cfg.nc_im
     h0, w0 = pyramid.shape2d(0)
     if ndim == 3:
         td0 = pyramid.td(0)
-        noise_shape = (args.batch_size, td0, h0, w0, cfg.latent_dim)
+        noise_shape = (args.batch_size, td0, h0, w0, noise_ch)
     else:
-        noise_shape = (args.batch_size, h0, w0, cfg.latent_dim)
+        noise_shape = (args.batch_size, h0, w0, noise_ch)
 
     import functools
 
@@ -149,14 +160,18 @@ def main() -> None:
 
     @functools.partial(jax.jit, static_argnames=())
     def sample_fn(gv, noise, key):
-        (out, vae_out, _), _ = G.apply(gv, amps, key, noise_init=noise,
-                                       mode="rand", train=True)
-        return out
+        ret, _ = G.apply(gv, amps, key, noise_init=noise, mode="rand",
+                         train=True)
+        return ret[0] if is_triple else ret
 
     @functools.partial(jax.jit, static_argnames=())
     def reconstruct_fn(gv, real_zero, key):
-        (out, vae_out, _), _ = G.apply(gv, amps, key, real_zero=real_zero,
-                                       mode="rec", train=True)
+        if is_triple:
+            (out, _, _), _ = G.apply(gv, amps, key, real_zero=real_zero,
+                                     mode="rec", train=True)
+        else:  # baselines reconstruct from their fixed Z_init noise
+            out, _ = G.apply(gv, amps, key, noise_init=real_zero, mode="rec",
+                             train=True)
         return out
 
     @functools.partial(jax.jit, static_argnames=("start",))
@@ -176,16 +191,16 @@ def main() -> None:
             cv2.imwrite(path_base + ".png", np.uint8(img[:, :, ::-1]))
 
     if args.inject_scale >= 0:
+        if not is_triple:
+            raise ValueError("--inject-scale requires GeneratorHPVAEGAN")
         s0 = args.inject_scale
         if s0 >= len(gvars["body"]):
             raise ValueError(
                 f"--inject-scale {s0} out of range: checkpoint was trained "
                 f"to scale {scale} with {len(gvars['body'])} body stages")
         if ndim == 3:
-            cfg.scale_idx = s0
-            cfg.fps_index = pyramid.fps_index(s0)
             dataset.generate_frames(s0)
-            cur, _ = dataset.get(0, hflip=False)
+            cur, _ = dataset.get(0, hflip=False, scale_idx=s0)
         else:
             cur, _ = dataset.get(0, s0, hflip=False)
         x_init = jnp.asarray(np.stack([cur] * args.batch_size))
@@ -212,20 +227,25 @@ def main() -> None:
         return
 
     # rec mode: reconstruct from the real sample's zero-scale clip
+    # (HPVAEGAN) or the checkpointed fixed Z_init noise (CSG/SG baselines,
+    # train_video_baselines.py:38-43)
     real_zero = real_top = None
     if args.mode == "rec":
-        rng = np.random.default_rng(args.manualSeed)
         if ndim == 3:
-            cfg.scale_idx = scale
-            cfg.fps_index = pyramid.fps_index(scale)
             dataset.generate_frames(scale)
-            cur, zero = dataset.get(0, hflip=False)
+            cur, zero = dataset.get(0, hflip=False, scale_idx=scale)
         else:
             cur, zero = dataset.get(0, scale, hflip=False)
         if zero is None:
             zero = cur
-        real_zero = jnp.asarray(np.stack([zero] * args.batch_size))
         real_top = np.stack([cur] * args.batch_size)
+        if is_triple:
+            real_zero = jnp.asarray(np.stack([zero] * args.batch_size))
+        else:
+            z_path = os.path.join(os.path.dirname(cfg.netG), "Z_init")
+            if not os.path.exists(z_path):
+                raise RuntimeError(f"baselines rec mode needs {z_path}")
+            real_zero = jnp.asarray(restore_file(z_path)["data"])
 
     produced = 0
     batch_idx = 0

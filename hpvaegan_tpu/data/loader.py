@@ -31,12 +31,17 @@ class BatchLoader:
         self.scale_idx = scale_idx
         self.device = device
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
+        if n <= 0:
+            raise ValueError(
+                "dataset is empty — for videos this means the clip has "
+                "<= fps_lcm frames (datasets/video.py:41-42 semantics)")
         if n < self.batch_size:
             # The reference's DataLoader(drop_last=True) would yield nothing
             # here and spin forever (train_video.py:112-115); we sample with
@@ -50,27 +55,38 @@ class BatchLoader:
                 yield perm[start:start + self.batch_size]
 
     def _worker(self) -> None:
-        stream = self._index_stream()
-        while not self._stop.is_set():
-            indices = next(stream)
-            real, real_zero = self.dataset.batch(self.rng, indices,
-                                                 self.scale_idx)
-            if callable(self.device):
-                batch = (self.device(real), self.device(real_zero))
-            else:
-                batch = jax.device_put((real, real_zero), self.device)
+        try:
+            stream = self._index_stream()
             while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+                indices = next(stream)
+                real, real_zero = self.dataset.batch(self.rng, indices,
+                                                     self.scale_idx)
+                if callable(self.device):
+                    batch = (self.device(real), self.device(real_zero))
+                else:
+                    batch = jax.device_put((real, real_zero), self.device)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as exc:  # noqa: BLE001 — re-raised in __next__
+            self._error = exc
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Tuple[jax.Array, jax.Array]:
-        return self._queue.get()
+        # poll so a dead worker surfaces its exception instead of a silent
+        # permanent hang on queue.get()
+        while True:
+            if self._error is not None:
+                raise RuntimeError("BatchLoader worker died") from self._error
+            try:
+                return self._queue.get(timeout=1.0)
+            except queue.Empty:
+                continue
 
     def close(self) -> None:
         self._stop.set()

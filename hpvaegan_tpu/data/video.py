@@ -93,16 +93,25 @@ class SingleVideoDataset:
         return (len(self.zero_scale_frames) - self.cfg.fps_lcm) \
             * self.cfg.data_rep
 
-    def get(self, idx: int, hflip: bool
+    def get(self, idx: int, hflip: bool, scale_idx: Optional[int] = None
             ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        """One (T, H, W, C) clip; plus the zero-scale pair for scale_idx>0."""
+        """One (T, H, W, C) clip; plus the zero-scale pair for scale_idx>0.
+
+        ``scale_idx`` selects the temporal stride (falls back to the
+        config's current scale for reference-style mutable-state callers).
+        """
         cfg = self.cfg
+        if scale_idx is None:
+            scale_idx = cfg.scale_idx
+            fps_index = cfg.fps_index
+        else:
+            fps_index = self.pyramid.fps_index(scale_idx)
         idx = idx % (len(self.zero_scale_frames) - cfg.fps_lcm)
-        every = cfg.sampling_rates[cfg.fps_index]
+        every = cfg.sampling_rates[fps_index]
         clip = self.frames[idx:idx + cfg.fps_lcm + 1:every]
         if hflip:
             clip = clip[:, :, ::-1]
-        if cfg.scale_idx > 0:
+        if scale_idx > 0:
             every0 = cfg.sampling_rates[0]
             zero = self.zero_scale_frames[idx:idx + cfg.fps_lcm + 1:every0]
             if hflip:
@@ -115,7 +124,7 @@ class SingleVideoDataset:
         cur_list, zero_list = [], []
         for idx in indices:
             hflip = bool(rng.random() < 0.5) if self.cfg.hflip else False
-            cur, zero = self.get(int(idx), hflip)
+            cur, zero = self.get(int(idx), hflip, scale_idx)
             cur_list.append(cur)
             zero_list.append(cur if zero is None else zero)
         return np.ascontiguousarray(np.stack(cur_list)), \

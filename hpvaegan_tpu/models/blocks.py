@@ -126,7 +126,9 @@ class ConvND(nn.Module):
         kernel_spatial = (self.ker_size,) * self.ndim
         fan_in = int(np.prod(kernel_spatial)) * x.shape[-1]
         kernel_init = torch_kernel_init if self.init_mode == "torch" else n002_kernel_init
-        bias_init = torch_bias_init(fan_in) if self.init_mode == "torch" else nn.initializers.zeros
+        # the reference's weights_init overwrites conv WEIGHTS only
+        # (networks_3d.py:9-15); biases keep torch's default uniform init
+        bias_init = torch_bias_init(fan_in)
 
         if self.pad_mode == "reflect" and self.padding > 0:
             pad_width = ([(0, 0)] + [(self.padding, self.padding)] * self.ndim

@@ -168,7 +168,13 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         dvars = update_d_spectral(dvars)
 
         # ---- critic step (train_video.py:168-183) ----
-        if use_fused:
+        # Fusion needs matching decoder-input geometry: the preserved
+        # Z_init_size quirk (td of the FIRST scale trained in this process)
+        # can give noise_init a different temporal dim than real_zero after
+        # a resume — fall back to the unfused path for that shape combo.
+        fusable = (use_fused
+                   and noise_init.shape[1:-1] == real_zero.shape[1:-1])
+        if fusable:
             (_, fake, _, _), _ = G.apply_fused(gvars, amps, k_fake,
                                                real_zero, noise_init,
                                                train=True)
@@ -208,7 +214,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         # ---- generator step with the UPDATED critic ----
         def g_loss_fn(params_view):
             gv = merge_gparams(gvars, params_view)
-            if use_fused:
+            if fusable:
                 (generated, fake_g, _, _), gv2 = G.apply_fused(
                     gv, amps, k_fake, real_zero, noise_init, train=True)
             else:

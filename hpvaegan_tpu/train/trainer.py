@@ -107,21 +107,27 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else cfg.noise_amp_init
     metrics: Dict[str, Any] = {}
     profiling = False
+    profile_done = False
+    profile_start = 0
     scan_k = max(1, int(getattr(cfg, "scan_steps", 1)))
     iteration = 0
     try:
         while iteration < cfg.niter:
-            # optional XLA trace of a steady-state window (SURVEY §5.1)
+            # optional XLA trace of a chunk-aligned steady-state window of
+            # >=10 iterations starting at the first loop visit past 5
+            # (SURVEY §5.1)
             if cfg.profile_dir:
                 import jax.profiler as _prof
-                if iteration >= 5 and not profiling and iteration < 15:
+                if iteration >= 5 and not profiling and not profile_done:
                     _prof.start_trace(
                         f"{cfg.profile_dir}/scale_{scale_idx}")
                     profiling = True
-                elif iteration >= 15 and profiling:
+                    profile_start = iteration
+                elif profiling and iteration >= profile_start + 10:
                     jax.block_until_ready(metrics)
                     _prof.stop_trace()
                     profiling = False
+                    profile_done = True
             it_key = jax.random.fold_in(key, iteration)
             k_noise, k_step, k_vis = jax.random.split(it_key, 3)
 
