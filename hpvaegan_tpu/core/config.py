@@ -242,14 +242,19 @@ def build_parser(kind: str) -> argparse.ArgumentParser:
         parser.add_argument("--image-path", required=True, help="image path")
         parser.add_argument("--tag", default="", help="neptune tag")
         parser.add_argument("--discriminator", type=str, default="WDiscriminator2D")
+        # parsed-but-unused for images in the reference too (train_image.py:321)
+        parser.add_argument("--stop-scale-time", type=int, default=-1)
         for flags, kw in _GAN_EXTRA_FLAGS:
             parser.add_argument(*flags, **kw)
+        parser.set_defaults(data_rep=1000)  # train_image.py:322 default
     elif kind == "video":
         parser.add_argument("--discriminator", type=str, default="WDiscriminator3D")
         for flags, kw in _VIDEO_FLAGS + _GAN_EXTRA_FLAGS:
             parser.add_argument(*flags, **kw)
     elif kind == "video_baselines":
-        parser.add_argument("--discriminator", type=str, default="WDiscriminatorBaselines")
+        # reference default is the SN critic, NOT WDiscriminatorBaselines
+        # (train_video_baselines.py:233)
+        parser.add_argument("--discriminator", type=str, default="WDiscriminator3D")
         for flags, kw in _VIDEO_FLAGS + _BASELINES_FLAGS:
             parser.add_argument(*flags, **kw)
         parser.add_argument("--grad-clip", type=float, default=5)

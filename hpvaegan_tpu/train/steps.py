@@ -307,6 +307,9 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def step(gvars, dvars, opt_g, opt_d, real, noise_init, z_init, amps, key):
         k_gp = jax.random.fold_in(key, 0)
+        # the default baselines critic is the SN WDiscriminator3D
+        # (train_video_baselines.py:233) — run its power iteration
+        dvars = update_d_spectral(dvars)
 
         errD_real = errD_fake = gp = jnp.float32(0)
         fake = None

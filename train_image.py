@@ -34,6 +34,10 @@ def main() -> None:
     assert cfg.vae_levels > 0
     assert cfg.disc_loss_weight > 0
 
+    # reference clamp (train_image.py:339-340): images repeat to >= batch
+    if cfg.data_rep < cfg.batch_size:
+        cfg.data_rep = cfg.batch_size
+
     saver = ImageSaver(cfg)
     summary = TensorboardSummary(saver.experiment_dir)
     configure_logging(os.path.join(saver.experiment_dir, "logbook.txt"))
