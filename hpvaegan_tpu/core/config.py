@@ -97,6 +97,9 @@ class Config:
     fused_forwards: bool = False   # batch rec+rand generator forwards
     profile_dir: str = ""          # jax.profiler trace output dir
     scan_steps: int = 1            # iterations per dispatch (lax.scan)
+    remat: bool = False            # jax.checkpoint refinement stages + critic
+    remat_blocks: bool = False     # nn.remat each conv block (finer, slower)
+    gp_chunked: bool = False       # per-sample WGAN-GP double-backprop (lax.map)
     distributed: bool = False      # multi-host jax.distributed.initialize
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
@@ -202,6 +205,18 @@ _COMMON_FLAGS = [
     (["--scan-steps"], dict(type=int, default=1, dest="scan_steps",
                             help="run K iterations per device dispatch via lax.scan "
                                  "(amortizes dispatch overhead; metrics/TB update every K)")),
+    (["--remat"], dict(action="store_true", default=False,
+                       help="rematerialize refinement stages and the critic "
+                            "(jax.checkpoint): trades ~1/3 more FLOPs for the HBM "
+                            "needed by the largest scales; auto-enabled on OOM")),
+    (["--remat-blocks"], dict(action="store_true", default=False, dest="remat_blocks",
+                              help="additionally nn.remat every conv block inside "
+                                   "stages and the critic (finer recompute; "
+                                   "auto-enabled if --remat alone still OOMs)")),
+    (["--gp-chunked"], dict(action="store_true", default=False, dest="gp_chunked",
+                            help="per-sample WGAN-GP double-backprop via lax.map "
+                                 "(divides the GP HBM peak by the batch size; "
+                                 "auto-enabled if remat alone still OOMs)")),
     (["--distributed"], dict(action="store_true", default=False,
                              help="multi-host: jax.distributed.initialize() at startup")),
 ]

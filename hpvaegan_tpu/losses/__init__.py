@@ -41,7 +41,8 @@ def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def calc_gradient_penalty(d_apply: Callable[[jnp.ndarray], jnp.ndarray],
                           real: jnp.ndarray, fake: jnp.ndarray,
-                          lambda_grad: float, key: jax.Array) -> jnp.ndarray:
+                          lambda_grad: float, key: jax.Array,
+                          chunked: bool = False) -> jnp.ndarray:
     """WGAN-GP (modules/utils.py:4-19), reference quirks preserved:
 
     * a single scalar alpha ~ U(0,1) is shared by the entire batch
@@ -52,9 +53,22 @@ def calc_gradient_penalty(d_apply: Callable[[jnp.ndarray], jnp.ndarray],
       reduction is over axis -1.
 
     ``d_apply`` must be the critic forward closed over its (non-diff) params.
+
+    ``chunked`` runs the double-backprop one sample at a time via
+    ``lax.map``, dividing the GP's (dominant) second-order HBM footprint by
+    the batch size.  Exact for per-sample critics (the SN WDiscriminator);
+    must stay False for the BatchNorm baselines critic, whose train-mode
+    statistics couple batch elements.
     """
     alpha = jax.random.uniform(key, ())
     interpolates = alpha * real + (1.0 - alpha) * fake
-    grads = jax.grad(lambda x: jnp.sum(d_apply(x)))(interpolates)
-    grad_norm = jnp.sqrt(jnp.sum(jnp.square(grads), axis=-1) + 0.0)
-    return jnp.mean(jnp.square(grad_norm - 1.0)) * lambda_grad
+
+    def penalty_map(x):
+        grads = jax.grad(lambda y: jnp.sum(d_apply(y)))(x)
+        grad_norm = jnp.sqrt(jnp.sum(jnp.square(grads), axis=-1) + 0.0)
+        return jnp.square(grad_norm - 1.0)
+
+    if chunked:
+        sq = jax.lax.map(lambda x: penalty_map(x[None]), interpolates)
+        return jnp.mean(sq) * lambda_grad
+    return jnp.mean(penalty_map(interpolates)) * lambda_grad

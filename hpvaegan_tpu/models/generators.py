@@ -44,12 +44,33 @@ def _pad_spatial(x: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.pad(x, pad_width)
 
 
-def _apply_bn_module(mod, mvars, x, train):
-    """Apply a module that owns BatchNorm state; thread batch_stats."""
-    if train:
-        y, upd = mod.apply(mvars, x, True, mutable=["batch_stats"])
-        return y, {**mvars, **upd}
-    return mod.apply(mvars, x, False), mvars
+def _remat_level(cfg):
+    """False | True (stage-level jax.checkpoint) | "blocks" (+ inner
+    nn.remat per conv block)."""
+    if getattr(cfg, "remat_blocks", False):
+        return "blocks"
+    return bool(getattr(cfg, "remat", False))
+
+
+def _apply_bn_module(mod, mvars, x, train, remat=False):
+    """Apply a module that owns BatchNorm state; thread batch_stats.
+
+    With ``remat`` the forward is wrapped in ``jax.checkpoint``: the
+    backward pass recomputes the module's internal activations instead of
+    keeping ~num_layer C-channel feature maps per stage live in HBM — the
+    difference between fitting and OOMing the largest pyramid scales on a
+    16 GB chip (the kept residual boundaries are 3-channel)."""
+    kw = {"remat": True} if remat == "blocks" else {}
+
+    def fwd(mvars, x):
+        if train:
+            y, upd = mod.apply(mvars, x, True, mutable=["batch_stats"], **kw)
+            return y, {**mvars, **upd}
+        return mod.apply(mvars, x, False, **kw), mvars
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+    return fwd(mvars, x)
 
 
 class _PyramidMixin:
@@ -166,7 +187,8 @@ class GeneratorHPVAEGAN(_PyramidMixin):
             else:
                 x_in = x_up
             y, new_body[idx] = _apply_bn_module(self.stage_def, body[idx],
-                                                x_in, train)
+                                                x_in, train,
+                                                remat=_remat_level(self.cfg))
             x = jnp.tanh(y + x_up)
         return x, new_body
 
@@ -210,7 +232,8 @@ class GeneratorHPVAEGAN(_PyramidMixin):
                 x_in = x_up
             y, new_body[idx] = _apply_bn_module(self.stage_def,
                                                 gvars["body"][idx], x_in,
-                                                train)
+                                                train,
+                                                remat=_remat_level(self.cfg))
             x = jnp.tanh(y + x_up)
         new_gvars["body"] = new_body
         return (x[:b], x[b:], vae_out[:b], (mu, logvar)), new_gvars
@@ -292,7 +315,8 @@ class GeneratorVAE_nb(_PyramidMixin):
             else:
                 x_in = x_up
             y, new_body[idx] = _apply_bn_module(self.stage_def, body[idx],
-                                                x_in, train)
+                                                x_in, train,
+                                                remat=_remat_level(self.cfg))
             x = jnp.tanh(y + x_up)
         return x, new_body
 
@@ -357,7 +381,8 @@ class GeneratorCSG(_PyramidMixin):
                 x_in = _pad_spatial(x_up, nl)
             y, new_body[idx] = _apply_bn_module(self.stage_def,
                                                 gvars["body"][idx], x_in,
-                                                train)
+                                                train,
+                                                remat=_remat_level(self.cfg))
             x = y + x_up
         new_gvars["body"] = new_body
         out = self.tail_def.apply(gvars["tail"], _pad_spatial(x, 1))
@@ -415,7 +440,8 @@ class GeneratorSG(_PyramidMixin):
                 x_in = _pad_spatial(x_up, p)
             y, new_body[idx] = _apply_bn_module(self.stage_def,
                                                 gvars["body"][idx], x_in,
-                                                train)
+                                                train,
+                                                remat=_remat_level(self.cfg))
             x = y + x_up
         new_gvars["body"] = new_body
         return jnp.tanh(x), new_gvars

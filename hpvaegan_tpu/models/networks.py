@@ -176,14 +176,17 @@ class Decoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = ConvBlock(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                      dtype=self.dtype, name="head")(x, train)
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 remat: bool = False) -> jnp.ndarray:
+        Block = nn.remat(ConvBlock, static_argnums=(2,)) if remat else ConvBlock
+        Tail = nn.remat(ConvND) if remat else ConvND
+        x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
+                  dtype=self.dtype, name="head")(x, train)
         for i in range(self.num_layer):
-            x = ConvBlock(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                          dtype=self.dtype, name=f"block{i}")(x, train)
-        x = ConvND(self.nc_im, self.ker_size, self.ker_size // 2, self.ndim,
-                   dtype=self.dtype, name="tail")(x)
+            x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
+                      dtype=self.dtype, name=f"block{i}")(x, train)
+        x = Tail(self.nc_im, self.ker_size, self.ker_size // 2, self.ndim,
+                 dtype=self.dtype, name="tail")(x)
         return x
 
 
@@ -201,14 +204,20 @@ class Stage(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = ConvBlock(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                      dtype=self.dtype, name="head")(x, train)
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 remat: bool = False) -> jnp.ndarray:
+        # per-block nn.remat: the backward pass holds at most one conv
+        # activation at a time instead of num_layer+2 of them — needed for
+        # the 204-256 px pyramid scales (16 GB HBM)
+        Block = nn.remat(ConvBlock, static_argnums=(2,)) if remat else ConvBlock
+        Tail = nn.remat(ConvND) if remat else ConvND
+        x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
+                  dtype=self.dtype, name="head")(x, train)
         for i in range(self.num_layer):
-            x = ConvBlock(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                          dtype=self.dtype, name=f"block{i}")(x, train)
-        x = ConvND(self.nc_im, self.ker_size, self.ker_size // 2, self.ndim,
-                   dtype=self.dtype, name="tail")(x)
+            x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
+                      dtype=self.dtype, name=f"block{i}")(x, train)
+        x = Tail(self.nc_im, self.ker_size, self.ker_size // 2, self.ndim,
+                 dtype=self.dtype, name="tail")(x)
         return x
 
 
@@ -224,15 +233,17 @@ class WDiscriminator(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
+        SNC = nn.remat(SNConv) if remat else SNConv
+        Tail = nn.remat(ConvND) if remat else ConvND
         pad = self.ker_size // 2
-        x = SNConv(self.nfc, self.ker_size, pad, self.ndim, dtype=self.dtype,
-                   name="head")(x)
+        x = SNC(self.nfc, self.ker_size, pad, self.ndim, dtype=self.dtype,
+                name="head")(x)
         for i in range(self.num_layer):
-            x = SNConv(self.nfc, self.ker_size, pad, self.ndim,
-                       dtype=self.dtype, name=f"block{i}")(x)
-        x = ConvND(1, self.ker_size, 1, self.ndim, dtype=self.dtype,
-                   name="tail")(x)
+            x = SNC(self.nfc, self.ker_size, pad, self.ndim,
+                    dtype=self.dtype, name=f"block{i}")(x)
+        x = Tail(1, self.ker_size, 1, self.ndim, dtype=self.dtype,
+                 name="tail")(x)
         return x
 
 
@@ -250,19 +261,22 @@ class WDiscriminatorBaselines(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 remat: bool = False) -> jnp.ndarray:
+        Block = nn.remat(ConvBlock, static_argnums=(2,)) if remat else ConvBlock
+        Tail = nn.remat(ConvND) if remat else ConvND
         p = self.num_layer + 2
         pad_width = [(0, 0)] + [(p, p)] * self.ndim + [(0, 0)]
         x = jnp.pad(x, pad_width)
-        x = ConvBlock(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                      use_norm=False, init_mode="n002", dtype=self.dtype,
-                      name="head")(x, train)
+        x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
+                  use_norm=False, init_mode="n002", dtype=self.dtype,
+                  name="head")(x, train)
         for i in range(self.num_layer):
-            x = ConvBlock(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                          use_norm=True, init_mode="n002", dtype=self.dtype,
-                          name=f"block{i}")(x, train)
-        x = ConvND(1, self.ker_size, self.padd_size, self.ndim,
-                   init_mode="n002", dtype=self.dtype, name="tail")(x)
+            x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
+                      use_norm=True, init_mode="n002", dtype=self.dtype,
+                      name=f"block{i}")(x, train)
+        x = Tail(1, self.ker_size, self.padd_size, self.ndim,
+                 init_mode="n002", dtype=self.dtype, name="tail")(x)
         return x
 
 
@@ -277,11 +291,13 @@ class CSGStage(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 remat: bool = False) -> jnp.ndarray:
+        Block = nn.remat(ConvBlock, static_argnums=(2,)) if remat else ConvBlock
         for i in range(self.num_layer):
-            x = ConvBlock(self.nfc, self.ker_size, 0, self.ndim,
-                          init_mode="n002", dtype=self.dtype,
-                          name=f"block{i}")(x, train)
+            x = Block(self.nfc, self.ker_size, 0, self.ndim,
+                      init_mode="n002", dtype=self.dtype,
+                      name=f"block{i}")(x, train)
         return x
 
 
@@ -297,13 +313,16 @@ class SGStage(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = ConvBlock(self.nfc, self.ker_size, 0, self.ndim,
-                      init_mode="n002", dtype=self.dtype, name="head")(x, train)
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 remat: bool = False) -> jnp.ndarray:
+        Block = nn.remat(ConvBlock, static_argnums=(2,)) if remat else ConvBlock
+        Tail = nn.remat(ConvND) if remat else ConvND
+        x = Block(self.nfc, self.ker_size, 0, self.ndim,
+                  init_mode="n002", dtype=self.dtype, name="head")(x, train)
         for i in range(self.num_layer):
-            x = ConvBlock(self.nfc, self.ker_size, 0, self.ndim,
-                          init_mode="n002", dtype=self.dtype,
-                          name=f"block{i}")(x, train)
-        x = ConvND(self.nc_im, self.ker_size, 0, self.ndim, init_mode="n002",
-                   dtype=self.dtype, name="tail")(x)
+            x = Block(self.nfc, self.ker_size, 0, self.ndim,
+                      init_mode="n002", dtype=self.dtype,
+                      name=f"block{i}")(x, train)
+        x = Tail(self.nc_im, self.ker_size, 0, self.ndim, init_mode="n002",
+                 dtype=self.dtype, name="tail")(x)
         return x

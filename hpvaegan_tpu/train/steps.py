@@ -39,14 +39,27 @@ __all__ = ["apply_disc", "update_g_spectral", "make_hpvaegan_steps",
            "make_baseline_steps"]
 
 
-def apply_disc(D, dvars: Dict[str, Any], x: jnp.ndarray, train: bool):
-    """Critic forward; threads batch_stats for the baselines critic."""
-    if "batch_stats" in dvars:
-        if train:
-            out, upd = D.apply(dvars, x, True, mutable=["batch_stats"])
-            return out, {**dvars, **upd}
-        return D.apply(dvars, x, False), dvars
-    return D.apply(dvars, x), dvars
+def apply_disc(D, dvars: Dict[str, Any], x: jnp.ndarray, train: bool,
+               remat: bool = False):
+    """Critic forward; threads batch_stats for the baselines critic.
+
+    ``remat`` wraps the forward in ``jax.checkpoint`` so the WGAN-GP
+    double-backprop recomputes the critic's internal activations instead of
+    keeping them live — required to fit the largest pyramid scales in HBM."""
+    blocks = (remat == "blocks")
+
+    def fwd(dvars, x):
+        if "batch_stats" in dvars:
+            if train:
+                out, upd = D.apply(dvars, x, True, blocks,
+                                   mutable=["batch_stats"])
+                return out, {**dvars, **upd}
+            return D.apply(dvars, x, False, blocks), dvars
+        return D.apply(dvars, x, blocks), dvars
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+    return fwd(dvars, x)
 
 
 def update_g_spectral(gvars: Dict[str, Any]) -> Dict[str, Any]:
@@ -93,6 +106,9 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     use_fast = bool(getattr(cfg, "fast_grads", False)) and group_plan is not None
     use_fused = bool(getattr(cfg, "fused_forwards", False)) \
         and hasattr(G, "apply_fused")
+    from ..models.generators import _remat_level
+    use_remat = _remat_level(cfg)
+    use_chunked = bool(getattr(cfg, "gp_chunked", False))
 
     def g_value_and_grad(gvars, loss_of_pview):
         """value_and_grad over the full params view, or — fast path — over
@@ -192,17 +208,18 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                 # one forward (identical math, half the dispatches)
                 out, dv = apply_disc(D, dv,
                                      jnp.concatenate([real, fake], axis=0),
-                                     train=True)
+                                     train=True, remat=use_remat)
                 errD_real = -jnp.mean(out[:nb])
                 errD_fake = jnp.mean(out[nb:])
             else:
-                out_real, dv = apply_disc(D, dv, real, train=True)
+                out_real, dv = apply_disc(D, dv, real, train=True, remat=use_remat)
                 errD_real = -jnp.mean(out_real)
-                out_fake, dv = apply_disc(D, dv, fake, train=True)
+                out_fake, dv = apply_disc(D, dv, fake, train=True, remat=use_remat)
                 errD_fake = jnp.mean(out_fake)
             gp = calc_gradient_penalty(
-                lambda x: apply_disc(D, dv, x, train=True)[0],
-                real, fake, lambda_grad, k_gp)
+                lambda x: apply_disc(D, dv, x, train=True, remat=use_remat)[0],
+                real, fake, lambda_grad, k_gp,
+                chunked=use_chunked and "batch_stats" not in dvars)
             return errD_real + errD_fake + gp, (errD_real, errD_fake, gp, dv)
 
         dview = dparams_view(dvars)
@@ -225,7 +242,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                                               noise_init=noise_init,
                                               mode="rand", train=True)
             rec = mse(generated, real)
-            out_fake, _ = apply_disc(D, dvars, fake_g, train=True)
+            out_fake, _ = apply_disc(D, dvars, fake_g, train=True, remat=use_remat)
             errG = -jnp.mean(out_fake) * disc_w
             total = rec_weight * rec + errG
             return total, (rec, errG, gv2)
@@ -297,6 +314,9 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     lambda_grad = cfg.lambda_grad
     dsteps = cfg.Dsteps
     gsteps = cfg.Gsteps
+    from ..models.generators import _remat_level
+    use_remat = _remat_level(cfg)
+    use_chunked = bool(getattr(cfg, "gp_chunked", False))
 
     @jax.jit
     def calibrate(gvars, real, z_init, amps, key):
@@ -322,13 +342,14 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
 
             def d_loss_fn(dparams, fake=fake):
                 dv = merge_dparams(dvars, dparams)
-                out_real, dv = apply_disc(D, dv, real, train=True)
+                out_real, dv = apply_disc(D, dv, real, train=True, remat=use_remat)
                 e_real = -jnp.mean(out_real)
-                out_fake, dv = apply_disc(D, dv, fake, train=True)
+                out_fake, dv = apply_disc(D, dv, fake, train=True, remat=use_remat)
                 e_fake = jnp.mean(out_fake)
                 pen = calc_gradient_penalty(
-                    lambda x: apply_disc(D, dv, x, train=True)[0],
-                    real, fake, lambda_grad, jax.random.fold_in(k_gp, j))
+                    lambda x: apply_disc(D, dv, x, train=True, remat=use_remat)[0],
+                    real, fake, lambda_grad, jax.random.fold_in(k_gp, j),
+                    chunked=use_chunked and "batch_stats" not in dvars)
                 return e_real + e_fake + pen, (e_real, e_fake, pen, dv)
 
             dview = dparams_view(dvars)
@@ -342,7 +363,7 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             gv = merge_gparams(gvars, params_view)
             fake_g, gv1 = G.apply(gv, amps, key, noise_init=noise_init,
                                   mode="rand", train=True)
-            out_fake, _ = apply_disc(D, dvars, fake_g, train=True)
+            out_fake, _ = apply_disc(D, dvars, fake_g, train=True, remat=use_remat)
             errG = -jnp.mean(out_fake) * disc_w
             total = errG
             rec = jnp.float32(0)

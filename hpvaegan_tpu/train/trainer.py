@@ -82,6 +82,37 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
                                 group_plan=(module_labels, body_labels))
 
+    def dispatch(name, *args):
+        """Run a step; on a TPU compile-time HBM OOM (RESOURCE_EXHAUSTED is
+        raised while building the executable, before any donation executes,
+        so all input state is intact) enable rematerialization and rebuild
+        the scale's step programs once."""
+        nonlocal steps
+        try:
+            return steps[name](*args)
+        except Exception as e:  # jaxlib XlaRuntimeError has no stable import
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg)
+            if not oom or (cfg.remat and cfg.remat_blocks and cfg.gp_chunked):
+                raise
+            import logging
+            if not cfg.remat:
+                cfg.remat = True
+                what = "rematerialization (--remat)"
+            elif not cfg.remat_blocks:
+                cfg.remat_blocks = True
+                what = "per-block rematerialization (--remat-blocks)"
+            else:
+                cfg.gp_chunked = True
+                what = "per-sample gradient penalty (--gp-chunked)"
+            logging.warning(
+                f"scale {scale_idx}: step does not fit HBM — enabling "
+                f"{what} and recompiling")
+            steps = make_hpvaegan_steps(
+                G, D, cfg, tx_g, tx_d,
+                group_plan=(module_labels, body_labels))
+            return dispatch(name, *args)
+
     # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB) ----
     place = None
     if cfg.spmd and cfg.mesh_shape:
@@ -150,8 +181,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 else:
                     cfg.Noise_Amps.append(0.0)
                     amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
-                    rmse, gvars = steps["calibrate"](gvars, real, real_zero,
-                                                     amps, k_step)
+                    rmse, gvars = dispatch("calibrate", gvars, real,
+                                           real_zero, amps, k_step)
                     noise_amp = (cfg.noise_amp_init * float(rmse)
                                  / cfg.batch_size)
                     cfg.Noise_Amps[-1] = noise_amp
@@ -172,12 +203,13 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 noise_init = jax.random.normal(k_noise,
                                                tuple(cfg.Z_init_size))
                 if gan_phase:
-                    gvars, dvars, opt_g, opt_d, metrics = steps["gan_step"](
-                        gvars, dvars, opt_g, opt_d, real, real_zero,
-                        noise_init, amps, k_step)
+                    gvars, dvars, opt_g, opt_d, metrics = dispatch(
+                        "gan_step", gvars, dvars, opt_g, opt_d, real,
+                        real_zero, noise_init, amps, k_step)
                 else:
-                    gvars, opt_g, metrics = steps["vae_step"](
-                        gvars, opt_g, real, real_zero, amps, k_step)
+                    gvars, opt_g, metrics = dispatch(
+                        "vae_step", gvars, opt_g, real, real_zero, amps,
+                        k_step)
             else:
                 batches = ([(real, real_zero)] if iteration == 0 else [])
                 while len(batches) < k:
@@ -194,13 +226,13 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                     noise_inits = jnp.stack([
                         jax.random.normal(nk, tuple(cfg.Z_init_size))
                         for nk in noise_keys])
-                    gvars, dvars, opt_g, opt_d, metrics = \
-                        steps["gan_scan_step"](gvars, dvars, opt_g, opt_d,
-                                               reals, rzs, noise_inits, amps,
-                                               step_keys)
+                    gvars, dvars, opt_g, opt_d, metrics = dispatch(
+                        "gan_scan_step", gvars, dvars, opt_g, opt_d,
+                        reals, rzs, noise_inits, amps, step_keys)
                 else:
-                    gvars, opt_g, metrics = steps["vae_scan_step"](
-                        gvars, opt_g, reals, rzs, amps, step_keys)
+                    gvars, opt_g, metrics = dispatch(
+                        "vae_scan_step", gvars, opt_g, reals, rzs, amps,
+                        step_keys)
                 real, real_zero = batches[-1]
                 noise_init = jax.random.normal(k_noise,
                                                tuple(cfg.Z_init_size))

@@ -66,6 +66,32 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
 
     steps = make_baseline_steps(G, D, cfg, tx_g, tx_d)
 
+    def dispatch(name, *args):
+        """OOM fallback: enable remat and rebuild (see trainer.dispatch)."""
+        nonlocal steps
+        try:
+            return steps[name](*args)
+        except Exception as e:
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg)
+            if not oom or (cfg.remat and cfg.remat_blocks and cfg.gp_chunked):
+                raise
+            import logging
+            if not cfg.remat:
+                cfg.remat = True
+                what = "rematerialization (--remat)"
+            elif not cfg.remat_blocks:
+                cfg.remat_blocks = True
+                what = "per-block rematerialization (--remat-blocks)"
+            else:
+                cfg.gp_chunked = True
+                what = "per-sample gradient penalty (--gp-chunked)"
+            logging.warning(
+                f"scale {scale_idx}: step does not fit HBM — enabling "
+                f"{what} and recompiling")
+            steps = make_baseline_steps(G, D, cfg, tx_g, tx_d)
+            return dispatch(name, *args)
+
     loader = BatchLoader(dataset, cfg.batch_size,
                          seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
                          scale_idx=scale_idx)
@@ -92,16 +118,16 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                 else:
                     cfg.Noise_Amps.append(0.0)
                     amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
-                    rmse, gvars = steps["calibrate"](gvars, real, cfg.Z_init,
-                                                     amps, k_step)
+                    rmse, gvars = dispatch("calibrate", gvars, real,
+                                           cfg.Z_init, amps, k_step)
                     noise_amp = (cfg.noise_amp_init * float(rmse)
                                  / cfg.batch_size)
                     cfg.Noise_Amps[-1] = noise_amp
 
             amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
-            gvars, dvars, opt_g, opt_d, metrics = steps["step"](
-                gvars, dvars, opt_g, opt_d, real, noise_init, cfg.Z_init,
-                amps, k_step)
+            gvars, dvars, opt_g, opt_d, metrics = dispatch(
+                "step", gvars, dvars, opt_g, opt_d, real, noise_init,
+                cfg.Z_init, amps, k_step)
 
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "

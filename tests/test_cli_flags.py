@@ -18,6 +18,7 @@ REFERENCE = "/root/reference"
 EXTRA_ALLOWED = {
     "--bf16", "--fast-grads", "--fused-forwards", "--mesh-shape", "--spmd",
     "--run-dir", "--profile-dir", "--scan-steps", "--distributed", "--help",
+    "--remat", "--remat-blocks", "--gp-chunked",
 }
 
 # shared-Config flags our baselines parser accepts that the reference's
