@@ -1,0 +1,74 @@
+"""Full-res rand-mode generation throughput, f32 vs bf16.
+
+Default model geometry (9 refinement stages, 256px, 13 frames), batch 2,
+1 TPU chip.  Chain-timed (dependent steps ended by scalar fetch).
+"""
+import sys, time
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from hpvaegan_tpu.core.cache import enable_compilation_cache
+enable_compilation_cache()
+
+from hpvaegan_tpu.core.config import Config
+from hpvaegan_tpu.core.pyramid import Pyramid
+from hpvaegan_tpu.models.registry import make_generator
+
+BF16 = len(sys.argv) > 1 and sys.argv[1] == "bf16"
+
+cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
+             vae_levels=3, batch_size=2, img_size=256, min_size=32,
+             max_size=256)
+cfg.bf16 = BF16
+cfg.adjust_scales()
+cfg.ar = 1.0
+pyr = Pyramid.for_video(256, 1.0, 32, 256, cfg.scale_factor_init,
+                        (4, 3, 2, 1), 30.0)
+SCALE = cfg.stop_scale  # 9
+cfg.scale_idx = SCALE
+
+key = jax.random.PRNGKey(0)
+G = make_generator("GeneratorHPVAEGAN", cfg, pyr, 3)
+gvars = G.init(key, 1)
+for i in range(SCALE):
+    gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
+amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
+
+batch = 2
+noise_shape = (batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim)
+
+
+@jax.jit
+def sample(gv, noise, k):
+    (fake, _, _), _ = G.apply(gv, amps, k, noise_init=noise, mode="rand",
+                              train=True)
+    return fake
+
+
+def chain(n, seed):
+    out = None
+    k = jax.random.fold_in(key, seed)
+    noise = jax.random.normal(k, noise_shape)
+    for i in range(n):
+        out = sample(gvars, noise, jax.random.fold_in(k, i))
+        # feed a slice of the output back into the noise to chain deps
+        noise = noise + 0 * jnp.mean(out)
+    return float(jnp.mean(out))
+
+
+mode = "bf16" if BF16 else "f32"
+t0 = time.perf_counter()
+chain(2, 1)
+print(f"[{mode}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
+      flush=True)
+N = 20
+t0 = time.perf_counter()
+chain(N, 2)
+dt = time.perf_counter() - t0
+td = pyr.td(SCALE)
+frames = N * batch * td
+print(f"[{mode}] {N} batches ({frames} frames of "
+      f"{pyr.shape2d(SCALE)}) in {dt:.2f}s -> "
+      f"{1000*dt/N:.1f} ms/batch, {frames/dt:.0f} frames/s", flush=True)

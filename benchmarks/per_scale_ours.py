@@ -1,0 +1,108 @@
+"""Per-scale train-step throughput, ours on 1 TPU chip, default config.
+
+Usage: [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1] python benchmarks/per_scale_ours.py [scales...]
+Numbers recorded in BENCHMARKS.md "Per-scale train-step throughput".
+
+VAE phase for scales < 3, full WGAN-GP GAN phase for scales >= 3
+(vae_levels=3 default).  Chain-timed.
+"""
+import sys, time, json
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from hpvaegan_tpu.core.cache import enable_compilation_cache
+enable_compilation_cache()
+
+from hpvaegan_tpu.core.config import Config
+from hpvaegan_tpu.core.pyramid import Pyramid
+from hpvaegan_tpu.models.registry import make_discriminator, make_generator
+from hpvaegan_tpu.train.optim import (build_d_optimizer, build_g_optimizer,
+                                      dparams_view, gparams_view,
+                                      hpvaegan_group_plan)
+from hpvaegan_tpu.train.steps import make_hpvaegan_steps
+from hpvaegan_tpu.train.trainer import init_discriminator
+
+SCALES = [int(s) for s in sys.argv[1:]] or list(range(10))
+
+results = {}
+for SCALE in SCALES:
+    cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
+                 vae_levels=3, batch_size=2, img_size=256, min_size=32,
+                 max_size=256)
+    import os as _os
+    cfg.remat = _os.environ.get("REMAT", "0") == "1"
+    cfg.remat_blocks = _os.environ.get("REMAT_BLOCKS", "0") == "1"
+    cfg.gp_chunked = _os.environ.get("GPCHUNK", "0") == "1"
+    cfg.adjust_scales()
+    cfg.ar = 1.0
+    cfg.scale_idx = SCALE
+    pyr = Pyramid.for_video(256, 1.0, 32, 256, cfg.scale_factor_init,
+                            (4, 3, 2, 1), 30.0)
+    key = jax.random.PRNGKey(0)
+    G = make_generator("GeneratorHPVAEGAN", cfg, pyr, 3)
+    gvars = G.init(key, 1)
+    for i in range(SCALE):
+        gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
+    batch = 2
+    gan = cfg.vae_levels < SCALE + 1
+    if gan:
+        D = make_discriminator("WDiscriminator3D", cfg, 3)
+        dvars = init_discriminator(D, jax.random.fold_in(key, 1),
+                                   (batch, *pyr.shape3d(SCALE), 3))
+        tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+    else:
+        D = dvars = tx_d = opt_d = None
+    pview = gparams_view(gvars)
+    ml, bl, lrs = hpvaegan_group_plan(cfg, SCALE, len(gvars["body"]))
+    tx_g, opt_g = build_g_optimizer(cfg, pview, ml, bl, lrs, cfg.grad_clip)
+    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d)
+
+    real = jax.random.normal(jax.random.fold_in(key, 2),
+                             (batch, *pyr.shape3d(SCALE), 3))
+    real_zero = jax.random.normal(jax.random.fold_in(key, 3),
+                                  (batch, *pyr.shape3d(0), 3))
+    noise_init = jax.random.normal(
+        jax.random.fold_in(key, 4),
+        (batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim))
+    amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
+
+    if gan:
+        state = [gvars, dvars, opt_g, opt_d]
+
+        def run(n, seed):
+            m = None
+            s = state
+            for i in range(n):
+                *s, m = steps["gan_step"](*s, real, real_zero, noise_init,
+                                          amps, jax.random.fold_in(key, seed+i))
+            state[:] = s
+            return float(m["loss"])
+    else:
+        state = [gvars, opt_g]
+
+        def run(n, seed):
+            m = None
+            s = state
+            for i in range(n):
+                *s, m = steps["vae_step"](*s, real, real_zero, amps,
+                                          jax.random.fold_in(key, seed + i))
+            state[:] = s
+            return float(m["loss"])
+
+    t0 = time.perf_counter()
+    run(3, 10)
+    warm = time.perf_counter() - t0
+    n = 30 if SCALE < 7 else 15
+    t0 = time.perf_counter()
+    run(n, 50)
+    dt = time.perf_counter() - t0
+    rate = n / dt
+    phase = "gan" if gan else "vae"
+    print(f"scale {SCALE} ({phase}, td={pyr.td(SCALE)}, "
+          f"hw={pyr.shape2d(SCALE)}): warmup {warm:.0f}s, "
+          f"{rate:.2f} it/s", flush=True)
+    results[SCALE] = {"phase": phase, "it_per_s": round(rate, 3)}
+
+print(json.dumps(results), flush=True)
