@@ -1,0 +1,55 @@
+"""HBM-OOM fallback ladder shared by both trainers.
+
+On TPU, a step program that exceeds HBM raises at COMPILE time (the
+executable's static memory assignment fails) — before any donated input
+buffer is consumed — so the dispatch can safely escalate one memory
+mechanism and rebuild the scale's step programs:
+
+    (plain) -> --remat -> --remat-blocks -> --gp-chunked
+
+Each rung is gradient-exact (tests/test_remat.py); the ladder stops
+escalating once all three are enabled and re-raises.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict
+
+__all__ = ["oom_dispatch", "is_hbm_oom"]
+
+
+def is_hbm_oom(exc: BaseException) -> bool:
+    msg = str(exc)
+    return "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+
+
+def oom_dispatch(cfg, scale_idx: int,
+                 rebuild: Callable[[], Dict[str, Callable]]):
+    """Returns ``dispatch(name, *args)`` running ``rebuild()``'s steps with
+    automatic memory-ladder escalation on compile-time HBM OOM."""
+    steps = rebuild()
+
+    def dispatch(name: str, *args, **kwargs) -> Any:
+        nonlocal steps
+        try:
+            return steps[name](*args, **kwargs)
+        except Exception as e:  # jaxlib XlaRuntimeError has no stable import
+            if not is_hbm_oom(e) or (cfg.remat and cfg.remat_blocks
+                                     and cfg.gp_chunked):
+                raise
+            if not cfg.remat:
+                cfg.remat = True
+                what = "rematerialization (--remat)"
+            elif not cfg.remat_blocks:
+                cfg.remat_blocks = True
+                what = "per-block rematerialization (--remat-blocks)"
+            else:
+                cfg.gp_chunked = True
+                what = "per-sample gradient penalty (--gp-chunked)"
+            logging.warning(
+                f"scale {scale_idx}: step does not fit HBM — enabling "
+                f"{what} and recompiling")
+            steps = rebuild()
+            return dispatch(name, *args, **kwargs)
+
+    return dispatch

@@ -22,6 +22,7 @@ from ..models.registry import make_discriminator
 from ..utils import create_progressbar
 from .optim import (build_d_optimizer, build_g_optimizer, dparams_view,
                     gparams_view, hpvaegan_group_plan)
+from .fallback import oom_dispatch
 from .steps import make_hpvaegan_steps
 
 __all__ = ["train_scale", "init_discriminator"]
@@ -79,39 +80,11 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
                                     lrs, cfg.grad_clip)
 
-    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
-                                group_plan=(module_labels, body_labels))
+    def _rebuild():
+        return make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
+                                   group_plan=(module_labels, body_labels))
 
-    def dispatch(name, *args):
-        """Run a step; on a TPU compile-time HBM OOM (RESOURCE_EXHAUSTED is
-        raised while building the executable, before any donation executes,
-        so all input state is intact) enable rematerialization and rebuild
-        the scale's step programs once."""
-        nonlocal steps
-        try:
-            return steps[name](*args)
-        except Exception as e:  # jaxlib XlaRuntimeError has no stable import
-            msg = str(e)
-            oom = ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg)
-            if not oom or (cfg.remat and cfg.remat_blocks and cfg.gp_chunked):
-                raise
-            import logging
-            if not cfg.remat:
-                cfg.remat = True
-                what = "rematerialization (--remat)"
-            elif not cfg.remat_blocks:
-                cfg.remat_blocks = True
-                what = "per-block rematerialization (--remat-blocks)"
-            else:
-                cfg.gp_chunked = True
-                what = "per-sample gradient penalty (--gp-chunked)"
-            logging.warning(
-                f"scale {scale_idx}: step does not fit HBM — enabling "
-                f"{what} and recompiling")
-            steps = make_hpvaegan_steps(
-                G, D, cfg, tx_g, tx_d,
-                group_plan=(module_labels, body_labels))
-            return dispatch(name, *args)
+    dispatch = oom_dispatch(cfg, scale_idx, _rebuild)
 
     # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB) ----
     place = None
@@ -265,7 +238,7 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                                        metrics["errD_real"], it_logged)
 
                 if iteration % cfg.print_interval == 0:
-                    _visualize(cfg, G, gvars, steps, amps, real, real_zero,
+                    _visualize(cfg, G, gvars, dispatch, amps, real, real_zero,
                                noise_init, k_vis, summary, ndim, iteration)
 
             iteration += k
@@ -293,21 +266,21 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     return gvars
 
 
-def _visualize(cfg, G, gvars, steps, amps, real, real_zero, noise_init,
+def _visualize(cfg, G, gvars, dispatch, amps, real, real_zero, noise_init,
                key, summary, ndim: int, iteration: int) -> None:
     """3 independent rand-mode samples -> grids (train_video.py:225-241)."""
     fakes, fake_vaes = [], []
     for i in range(3):
         k = jax.random.fold_in(key, i)
         noise = jax.random.normal(k, noise_init.shape, noise_init.dtype)
-        fake, fake_vae = steps["sample"](gvars, noise, amps,
-                                         jax.random.fold_in(k, 1))
+        fake, fake_vae = dispatch("sample", gvars, noise, amps,
+                                  jax.random.fold_in(k, 1))
         fakes.append(fake)
         fake_vaes.append(fake_vae)
     fake_var = jnp.concatenate(fakes, axis=0)
     fake_vae_var = jnp.concatenate(fake_vaes, axis=0)
-    generated, generated_vae = steps["reconstruct"](
-        gvars, real_zero, amps, jax.random.fold_in(key, 7))
+    generated, generated_vae = dispatch("reconstruct", gvars, real_zero,
+                                        amps, jax.random.fold_in(key, 7))
 
     viz = summary.visualize_video if ndim == 3 else summary.visualize_image
     viz(cfg, iteration, np.asarray(real), "Real")

@@ -15,6 +15,7 @@ from ..models.registry import make_discriminator
 from ..utils import create_progressbar
 from .optim import (baselines_group_plan, build_d_optimizer,
                     build_g_optimizer, dparams_view, gparams_view)
+from .fallback import oom_dispatch
 from .steps import make_baseline_steps
 from .trainer import init_discriminator
 
@@ -64,33 +65,8 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
     tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
                                     lrs, grad_clip=None)
 
-    steps = make_baseline_steps(G, D, cfg, tx_g, tx_d)
-
-    def dispatch(name, *args):
-        """OOM fallback: enable remat and rebuild (see trainer.dispatch)."""
-        nonlocal steps
-        try:
-            return steps[name](*args)
-        except Exception as e:
-            msg = str(e)
-            oom = ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg)
-            if not oom or (cfg.remat and cfg.remat_blocks and cfg.gp_chunked):
-                raise
-            import logging
-            if not cfg.remat:
-                cfg.remat = True
-                what = "rematerialization (--remat)"
-            elif not cfg.remat_blocks:
-                cfg.remat_blocks = True
-                what = "per-block rematerialization (--remat-blocks)"
-            else:
-                cfg.gp_chunked = True
-                what = "per-sample gradient penalty (--gp-chunked)"
-            logging.warning(
-                f"scale {scale_idx}: step does not fit HBM — enabling "
-                f"{what} and recompiling")
-            steps = make_baseline_steps(G, D, cfg, tx_g, tx_d)
-            return dispatch(name, *args)
+    dispatch = oom_dispatch(cfg, scale_idx,
+                            lambda: make_baseline_steps(G, D, cfg, tx_g, tx_d))
 
     loader = BatchLoader(dataset, cfg.batch_size,
                          seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
@@ -146,16 +122,16 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                     summary.add_scalar(f"{tag}/noise_amp", noise_amp,
                                        iteration)
                 if iteration % cfg.print_interval == 0:
-                    fake = steps["sample"](gvars, noise_init, amps,
-                                           jax.random.fold_in(k_vis, 1))
+                    fake = dispatch("sample", gvars, noise_init, amps,
+                                    jax.random.fold_in(k_vis, 1))
                     summary.visualize_video(cfg, iteration, np.asarray(real),
                                             "Real")
                     summary.visualize_video(cfg, iteration, np.asarray(fake),
                                             "Fake")
                     if cfg.alpha > 0:
-                        gen = steps["sample"](gvars, cfg.Z_init, amps,
-                                              jax.random.fold_in(k_vis, 2),
-                                              mode="rec")
+                        gen = dispatch("sample", gvars, cfg.Z_init, amps,
+                                       jax.random.fold_in(k_vis, 2),
+                                       mode="rec")
                         summary.visualize_video(cfg, iteration,
                                                 np.asarray(gen), "Generated")
     finally:
