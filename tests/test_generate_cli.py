@@ -83,6 +83,16 @@ def test_spatial_extrapolation(netg, tmp_path):
     assert img is not None and img.shape == (32, 24, 3)
 
 
+def test_mesh_sharded_generation(netg, tmp_path):
+    """--mesh-shape 2x4 on the 8-virtual-device CPU mesh: multi-seed
+    sampling sharded batch-over-data, H-over-spatial."""
+    _gen(netg, tmp_path, ["--num-samples", "4", "--mesh-shape", "2x4"])
+    imgs = [cv2.imread(str(tmp_path / f"sample_{i}.png")) for i in range(4)]
+    assert all(im is not None and im.shape == (16, 16, 3) for im in imgs)
+    # seeds differ across the sharded batch
+    assert np.abs(imgs[0].astype(np.int32) - imgs[3].astype(np.int32)).mean() > 0
+
+
 def test_missing_checkpoint_fails(tmp_path):
     with pytest.raises(RuntimeError, match="no <G> checkpoint"):
         _gen("/does/not/exist", tmp_path, [])
