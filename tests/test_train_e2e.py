@@ -67,6 +67,20 @@ def test_netg_checkpoint_contents(trained_dir):
     assert all(np.all(np.isfinite(l)) for l in leaves)
 
 
+def test_scan_steps_e2e(tmp_path):
+    """--scan-steps K: chunked lax.scan dispatch with a non-dividing niter
+    (7 % 3 != 0) and --visualize print-interval boundary clamping."""
+    import json as _json
+    _run_train_image(["--scan-steps", "3", "--niter", "7", "--visualize",
+                      "--print-interval", "5"], tmp_path / "scanrun")
+    exp = os.path.join(tmp_path, "scanrun", "test_image", "DEBUG",
+                       "experiment_0")
+    with open(os.path.join(exp, "Noise_Amps.json")) as f:
+        amps = _json.load(f)["noise_amps"]
+    assert len(amps) == 5 and all(np.isfinite(a) for a in amps)
+    assert os.path.exists(os.path.join(exp, "netG"))
+
+
 def test_resume_with_growth_replay(trained_dir, tmp_path):
     """--netG resume: replays init_next_stage scale times then restores
     (reference semantics train_image.py:421-434)."""
