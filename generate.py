@@ -110,12 +110,10 @@ def main() -> None:
     scale = int(raw["scale"])
     cfg.scale_idx = scale
 
-    if cfg.generator not in ("GeneratorHPVAEGAN", "GeneratorCSG",
-                             "GeneratorSG"):
-        raise ValueError(
-            f"generate.py supports GeneratorHPVAEGAN and the CSG/SG "
-            f"baselines; {cfg.generator!r} (noise_init_norm/bern interface) "
-            f"is not wired here")
+    if cfg.generator not in ("GeneratorHPVAEGAN", "GeneratorVAE_nb",
+                             "GeneratorCSG", "GeneratorSG"):
+        raise ValueError(f"unknown generator for generate.py: "
+                         f"{cfg.generator!r}")
 
     root_key = jax.random.PRNGKey(args.manualSeed)
     G = make_generator(cfg.generator, cfg, pyramid, ndim=ndim)

@@ -274,9 +274,27 @@ class GeneratorVAE_nb(_PyramidMixin):
 
     def apply(self, gvars, amps, key,
               real_zero=None, noise_init_norm=None, noise_init_bern=None,
-              sample_init=None, mode: str = "rec", train: bool = True):
+              noise_init=None, sample_init=None, mode: str = "rec",
+              train: bool = True):
+        """``noise_init`` (EXTENSION, no reference counterpart — the
+        reference trainers crash before reaching a VAE_nb rand path): a
+        Z_init-shaped tensor used only for batch geometry + RNG; the actual
+        latents are drawn from the model prior — z_norm ~ N(0,1) global,
+        z_bern ~ Bernoulli(0.5) spatial — matching the eval-mode
+        ``reparameterize``/``reparameterize_bern`` distributions
+        (networks_3d.py:29-43).  Explicit ``noise_init_norm/bern`` keep the
+        reference forward signature (networks_3d.py:444-455)."""
         new_gvars = dict(gvars)
         key, k_norm, k_bern = jax.random.split(key, 3)
+
+        if noise_init_norm is None and noise_init is not None:
+            b = noise_init.shape[0]
+            ones = (1,) * (noise_init.ndim - 2)
+            noise_init_norm = jax.random.normal(
+                k_norm, (b, *ones, self.cfg.latent_dim), noise_init.dtype)
+            noise_init_bern = jax.random.bernoulli(
+                k_bern, 0.5, (b, *noise_init.shape[1:-1], 1)
+            ).astype(noise_init.dtype)
 
         if noise_init_norm is None:
             assert real_zero is not None

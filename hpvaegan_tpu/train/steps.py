@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..losses import calc_gradient_penalty, kl_criterion, mse
+from ..losses import (calc_gradient_penalty, kl_bern_criterion, kl_criterion,
+                      mse)
 from ..models.blocks import spectral_update
 from .optim import (dparams_view, gparams_view, merge_dparams, merge_gparams,
                     scatter_grads, trainable_merge, trainable_split)
@@ -143,9 +144,18 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             gv = merge_gparams(gvars, params_view)
             (generated, generated_vae, stats), gv_new = G.apply(
                 gv, amps, key, real_zero=real_zero, mode="rec", train=True)
-            mu, logvar = stats
+            if len(stats) == 3:
+                # GeneratorVAE_nb: Bernoulli-gated latent.  EXTENSION — the
+                # reference trainers crash unpacking this 3-tuple
+                # (train_video.py:147 vs networks_3d.py:465); its losses
+                # module ships kl_bern_criterion (modules/losses.py:12-14)
+                # for exactly this term, so we wire it.
+                mu, logvar, bern = stats
+                kl = kl_criterion(mu, logvar) + kl_bern_criterion(bern)
+            else:
+                mu, logvar = stats
+                kl = kl_criterion(mu, logvar)
             rec_vae = mse(generated, real) + mse(generated_vae, real_zero)
-            kl = kl_criterion(mu, logvar)
             total = rec_weight * rec_vae + kl_weight * kl
             return total, (rec_vae, kl, gv_new)
 

@@ -81,6 +81,38 @@ def test_scan_steps_e2e(tmp_path):
     assert os.path.exists(os.path.join(exp, "netG"))
 
 
+def test_generator_vae_nb_e2e(tmp_path):
+    """GeneratorVAE_nb trains end-to-end (EXTENSION: the reference trainers
+    crash unpacking its 3-tuple stats, train_image.py:167 vs
+    networks_2d.py:330; we wire kl_bern_criterion and prior sampling)."""
+    import json as _json
+    _run_train_image(["--generator", "GeneratorVAE_nb"], tmp_path / "nbrun")
+    exp = os.path.join(tmp_path, "nbrun", "test_image", "DEBUG",
+                       "experiment_0")
+    with open(os.path.join(exp, "Noise_Amps.json")) as f:
+        amps = _json.load(f)["noise_amps"]
+    assert len(amps) == 5 and all(np.isfinite(a) for a in amps)
+    # rand-mode generation from the prior
+    import generate
+    out = tmp_path / "nbgen"
+    argv = ["generate.py", "--netG", os.path.join(exp, "netG"),
+            "--image-path", ASSET, "--output-dir", str(out),
+            "--generator", "GeneratorVAE_nb", "--num-samples", "2",
+            "--img-size", "16", "--min-size", "8", "--max-size", "16",
+            "--vae-levels", "2", "--nfc", "8", "--latent-dim", "8",
+            "--num-layer", "2", "--enc-blocks", "1"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        generate.main()
+    finally:
+        sys.argv = old
+    import cv2
+    for i in range(2):
+        img = cv2.imread(str(out / f"sample_{i}.png"))
+        assert img is not None and img.shape == (16, 16, 3)
+
+
 def test_resume_with_growth_replay(trained_dir, tmp_path):
     """--netG resume: replays init_next_stage scale times then restores
     (reference semantics train_image.py:421-434)."""
