@@ -1,6 +1,7 @@
 """Per-scale train-step throughput, ours on 1 TPU chip, default config.
 
-Usage: [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1] python benchmarks/per_scale_ours.py [scales...]
+Usage: [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1] [FAST=1] [BF16=1] [FUSED=1]
+       [SCAN=K] python benchmarks/per_scale_ours.py [scales...]
 Numbers recorded in BENCHMARKS.md "Per-scale train-step throughput".
 
 VAE phase for scales < 3, full WGAN-GP GAN phase for scales >= 3
@@ -10,6 +11,10 @@ import sys, time, json
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import jax
+
+if __import__("os").environ.get("CPU", "0") == "1":  # smoke-test path
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from hpvaegan_tpu.core.cache import enable_compilation_cache
@@ -28,18 +33,27 @@ SCALES = [int(s) for s in sys.argv[1:]] or list(range(10))
 
 results = {}
 for SCALE in SCALES:
-    cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
-                 vae_levels=3, batch_size=2, img_size=256, min_size=32,
-                 max_size=256)
     import os as _os
+    if _os.environ.get("SMALL", "0") == "1":  # CPU smoke-test config
+        cfg = Config(nfc=8, latent_dim=8, num_layer=2, enc_blocks=1,
+                     vae_levels=3, batch_size=2, img_size=32, min_size=8,
+                     max_size=32)
+    else:
+        cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
+                     vae_levels=3, batch_size=2, img_size=256, min_size=32,
+                     max_size=256)
     cfg.remat = _os.environ.get("REMAT", "0") == "1"
     cfg.remat_blocks = _os.environ.get("REMAT_BLOCKS", "0") == "1"
     cfg.gp_chunked = _os.environ.get("GPCHUNK", "0") == "1"
+    cfg.fast_grads = _os.environ.get("FAST", "0") == "1"
+    cfg.bf16 = _os.environ.get("BF16", "0") == "1"
+    cfg.fused_forwards = _os.environ.get("FUSED", "0") == "1"
+    SCAN = int(_os.environ.get("SCAN", "1"))
     cfg.adjust_scales()
     cfg.ar = 1.0
     cfg.scale_idx = SCALE
-    pyr = Pyramid.for_video(256, 1.0, 32, 256, cfg.scale_factor_init,
-                            (4, 3, 2, 1), 30.0)
+    pyr = Pyramid.for_video(cfg.img_size, 1.0, cfg.min_size, cfg.max_size,
+                            cfg.scale_factor_init, (4, 3, 2, 1), 30.0)
     key = jax.random.PRNGKey(0)
     G = make_generator("GeneratorHPVAEGAN", cfg, pyr, 3)
     gvars = G.init(key, 1)
@@ -57,7 +71,7 @@ for SCALE in SCALES:
     pview = gparams_view(gvars)
     ml, bl, lrs = hpvaegan_group_plan(cfg, SCALE, len(gvars["body"]))
     tx_g, opt_g = build_g_optimizer(cfg, pview, ml, bl, lrs, cfg.grad_clip)
-    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d)
+    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d, group_plan=(ml, bl))
 
     real = jax.random.normal(jax.random.fold_in(key, 2),
                              (batch, *pyr.shape3d(SCALE), 3))
@@ -68,33 +82,64 @@ for SCALE in SCALES:
         (batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim))
     amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
 
+    def _stack(x):
+        return jnp.broadcast_to(x, (SCAN, *x.shape))
+
     if gan:
         state = [gvars, dvars, opt_g, opt_d]
 
-        def run(n, seed):
-            m = None
-            s = state
-            for i in range(n):
-                *s, m = steps["gan_step"](*s, real, real_zero, noise_init,
-                                          amps, jax.random.fold_in(key, seed+i))
-            state[:] = s
-            return float(m["loss"])
+        if SCAN > 1:
+            reals, rzs, nis = _stack(real), _stack(real_zero), _stack(noise_init)
+
+            def run(n, seed):
+                m = None
+                s = state
+                for i in range(0, n, SCAN):
+                    keys = jax.random.split(jax.random.fold_in(key, seed + i),
+                                            SCAN)
+                    *s, m = steps["gan_scan_step"](*s, reals, rzs, nis, amps,
+                                                   keys)
+                state[:] = s
+                return float(m["loss"])
+        else:
+            def run(n, seed):
+                m = None
+                s = state
+                for i in range(n):
+                    *s, m = steps["gan_step"](*s, real, real_zero, noise_init,
+                                              amps, jax.random.fold_in(key, seed+i))
+                state[:] = s
+                return float(m["loss"])
     else:
         state = [gvars, opt_g]
 
-        def run(n, seed):
-            m = None
-            s = state
-            for i in range(n):
-                *s, m = steps["vae_step"](*s, real, real_zero, amps,
-                                          jax.random.fold_in(key, seed + i))
-            state[:] = s
-            return float(m["loss"])
+        if SCAN > 1:
+            reals, rzs = _stack(real), _stack(real_zero)
+
+            def run(n, seed):
+                m = None
+                s = state
+                for i in range(0, n, SCAN):
+                    keys = jax.random.split(jax.random.fold_in(key, seed + i),
+                                            SCAN)
+                    *s, m = steps["vae_scan_step"](*s, reals, rzs, amps, keys)
+                state[:] = s
+                return float(m["loss"])
+        else:
+            def run(n, seed):
+                m = None
+                s = state
+                for i in range(n):
+                    *s, m = steps["vae_step"](*s, real, real_zero, amps,
+                                              jax.random.fold_in(key, seed + i))
+                state[:] = s
+                return float(m["loss"])
 
     t0 = time.perf_counter()
     run(3, 10)
     warm = time.perf_counter() - t0
     n = 30 if SCALE < 7 else 15
+    n = ((n + SCAN - 1) // SCAN) * SCAN  # whole scan chunks
     t0 = time.perf_counter()
     run(n, 50)
     dt = time.perf_counter() - t0
