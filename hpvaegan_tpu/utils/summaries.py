@@ -30,34 +30,51 @@ def _make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2
 
 
 class TensorboardSummary:
-    def __init__(self, directory: str):
+    """TB writer with an optional neptune experiment route.
+
+    When a neptune experiment is passed, scalars and image grids go to
+    neptune INSTEAD of TensorBoard, mirroring the reference's either/or
+    routing (utils/summaries.py:26-30, 46-52).
+    """
+
+    def __init__(self, directory: str, neptune_exp=None):
         from tensorboardX import SummaryWriter
         self.writer = SummaryWriter(logdir=directory)
+        self.neptune_exp = neptune_exp
 
     def add_scalar(self, tag: str, value, step: int) -> None:
-        self.writer.add_scalar(tag, float(value), step)
+        if self.neptune_exp is not None:
+            self.neptune_exp.log_metric(tag, step, float(value))
+        else:
+            self.writer.add_scalar(tag, float(value), step)
 
     def visualize_video(self, cfg, iteration: int, videos, name: str) -> None:
-        """(B, T, H, W, C) in [-1,1]: unfolded frame grid + first-3 clips
-        (utils/summaries.py:32-44)."""
+        """(B, T, H, W, C) in [-1,1]: unfolded frame grid + first-3 clips,
+        tagged ``Video/Scale {s}/{name}[_unfold]`` (utils/summaries.py:32-44)."""
         vids = np.asarray(videos)
         b, t, h, w, c = vids.shape
+        scale = getattr(cfg, "scale_idx", 0)
         frames = vids.reshape(b * t, h, w, c)
         grid = _make_grid(frames, nrow=t)
-        self.writer.add_image(f"Video/{name}", grid, iteration,
-                              dataformats="HWC")
+        self.writer.add_image(f"Video/Scale {scale}/{name}_unfold", grid,
+                              iteration, dataformats="HWC")
         clips = np.clip((vids[:3] + 1.0) / 2.0, 0, 1)
         # add_video expects (N, T, C, H, W)
-        self.writer.add_video(f"Video/{name} clips",
+        self.writer.add_video(f"Video/Scale {scale}/{name}",
                               clips.transpose(0, 1, 4, 2, 3), iteration,
                               fps=int(max(1, getattr(cfg, "fps", 4))))
 
     def visualize_image(self, cfg, iteration: int, images, name: str) -> None:
-        """3-image grid (utils/summaries.py:46-52)."""
+        """3-image grid tagged ``Image/Scale {s}/{name}``
+        (utils/summaries.py:46-52)."""
         imgs = np.asarray(images)[:3]
         grid = _make_grid(imgs, nrow=3)
-        self.writer.add_image(f"Image/{name}", grid, iteration,
-                              dataformats="HWC")
+        tag = f"Image/Scale {getattr(cfg, 'scale_idx', 0)}/{name}"
+        if self.neptune_exp is not None:
+            self.neptune_exp.log_image(tag, iteration,
+                                       y=(grid * 255).astype(np.uint8))
+        else:
+            self.writer.add_image(tag, grid, iteration, dataformats="HWC")
 
     def close(self) -> None:
         self.writer.close()

@@ -39,7 +39,24 @@ def main() -> None:
         cfg.data_rep = cfg.batch_size
 
     saver = ImageSaver(cfg)
-    summary = TensorboardSummary(saver.experiment_dir)
+
+    # Optional neptune.ai routing when the client is importable and --tag is
+    # given (reference train_image.py:31-36, 346-348).  The reference
+    # hardcodes a third-party project name; we read NEPTUNE_PROJECT instead
+    # (documented deviation, PARITY.md).
+    neptune_exp = None
+    if cfg.tag and os.environ.get("NEPTUNE_PROJECT"):
+        try:
+            import neptune
+            neptune.init(project_qualified_name=os.environ["NEPTUNE_PROJECT"])
+            neptune_exp = neptune.create_experiment(
+                name=cfg.checkname, params=vars(cfg), tags=[cfg.tag]
+            ).__enter__()
+        except Exception as e:  # unavailable client/network: fall back to TB
+            logging.warning(f"neptune disabled: {e}")
+            neptune_exp = None
+    summary = TensorboardSummary(saver.experiment_dir,
+                                 neptune_exp=neptune_exp)
     configure_logging(os.path.join(saver.experiment_dir, "logbook.txt"))
 
     cfg.adjust_scales()
