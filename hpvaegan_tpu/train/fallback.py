@@ -5,10 +5,19 @@ executable's static memory assignment fails) — before any donated input
 buffer is consumed — so the dispatch can safely escalate one memory
 mechanism and rebuild the scale's step programs:
 
-    (plain) -> --remat -> --remat-blocks -> --gp-chunked
+    (plain) -> --remat -> --gp-chunked -> --remat-blocks
 
 Each rung is gradient-exact (tests/test_remat.py); the ladder stops
 escalating once all three are enabled and re-raises.
+
+Rung order is measured, not guessed: at pyramid scale 9 (13 frames,
+256 px, bf16) remat+gp-chunked runs 0.71 it/s vs remat+remat-blocks
+0.50 it/s (BENCHMARKS.md) — the WGAN-GP double-backprop is the dominant
+HBM peak, so chunking it per-sample both frees more memory and costs
+less recompute than per-conv-block remat.  (For the BatchNorm baselines
+critic the GP stays batched — train-mode stats couple samples — so that
+rung is a no-op there and the ladder escalates once more to
+--remat-blocks.)
 """
 from __future__ import annotations
 
@@ -40,12 +49,12 @@ def oom_dispatch(cfg, scale_idx: int,
             if not cfg.remat:
                 cfg.remat = True
                 what = "rematerialization (--remat)"
-            elif not cfg.remat_blocks:
-                cfg.remat_blocks = True
-                what = "per-block rematerialization (--remat-blocks)"
-            else:
+            elif not cfg.gp_chunked:
                 cfg.gp_chunked = True
                 what = "per-sample gradient penalty (--gp-chunked)"
+            else:
+                cfg.remat_blocks = True
+                what = "per-block rematerialization (--remat-blocks)"
             logging.warning(
                 f"scale {scale_idx}: step does not fit HBM — enabling "
                 f"{what} and recompiling")

@@ -1,5 +1,5 @@
 """Unit tests for the HBM-OOM fallback ladder (train/fallback.py):
-plain -> --remat -> --remat-blocks -> --gp-chunked, rebuilt per rung;
+plain -> --remat -> --gp-chunked -> --remat-blocks, rebuilt per rung;
 non-OOM errors propagate untouched."""
 import pytest
 
@@ -35,6 +35,7 @@ def make_rebuild(fail_until):
 
 
 @pytest.mark.parametrize("rungs_needed,expected", [
+    # expected = (remat, gp_chunked, remat_blocks) — measured rung order
     (0, (False, False, False)),
     (1, (True, False, False)),
     (2, (True, True, False)),
@@ -45,7 +46,7 @@ def test_ladder_escalates_exactly_as_needed(rungs_needed, expected):
     rebuild_for, calls = make_rebuild(rungs_needed)
     dispatch = oom_dispatch(cfg, scale_idx=9, rebuild=rebuild_for(cfg))
     assert dispatch("step", 41) == 42
-    assert (cfg.remat, cfg.remat_blocks, cfg.gp_chunked) == expected
+    assert (cfg.remat, cfg.gp_chunked, cfg.remat_blocks) == expected
     assert calls["rebuilds"] == 1 + rungs_needed
 
 
