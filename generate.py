@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="rand", choices=["rand", "rec"])
     p.add_argument("--metrics", action="store_true", default=False,
                    help="report diversity (rand) / PSNR (rec) metrics")
+    p.add_argument("--svfid", action="store_true", default=False,
+                   help="SVFID of the samples vs the real clip (3D only; "
+                        "the paper's metric). Pretrained C3D via "
+                        "--c3d-weights / $C3D_WEIGHTS; without weights a "
+                        "fixed-seed random C3D is used (relative numbers "
+                        "only)")
+    p.add_argument("--c3d-weights", type=str, default="",
+                   help="torch C3D Sports-1M checkpoint for --svfid")
+    p.add_argument("--svfid-layer", type=str, default="conv3b",
+                   help="C3D tap layer for --svfid (conv1..conv5b)")
     p.add_argument("--manualSeed", type=int, default=0)
     # network/pyramid flags — must match training
     p.add_argument("--generator", type=str, default="GeneratorHPVAEGAN")
@@ -95,6 +105,8 @@ def main() -> None:
     cfg.adjust_scales()
 
     ndim = 3 if cfg.video_path else 2
+    if args.svfid and ndim != 3:
+        raise ValueError("--svfid is a video metric (needs --video-path)")
     if ndim == 3:
         from hpvaegan_tpu.data import SingleVideoDataset
         dataset = SingleVideoDataset(cfg)
@@ -179,6 +191,25 @@ def main() -> None:
             sample_init=(start, x_init), mode="rand", train=True)
         return out
 
+    def report_svfid(samples):
+        """SVFID of generated clips vs the real current-scale clip.
+
+        Shapes need not match (feature statistics are per-position), so
+        this also works for extrapolated (--h/w/t-factor) samples.
+        """
+        if ndim != 3:
+            raise ValueError("--svfid is a video metric (needs --video-path)")
+        from hpvaegan_tpu.eval import svfid as _svfid
+        dataset.generate_frames(scale)
+        real_cur, _ = dataset.get(0, hflip=False, scale_idx=scale)
+        res = _svfid(np.asarray(real_cur), samples,
+                     weights_path=args.c3d_weights,
+                     feature_layer=args.svfid_layer)
+        tag = "" if res["pretrained"] else " (RANDOM C3D — relative only)"
+        logging.info(f"SVFID[{res['feature_layer']}]{tag}: "
+                     f"mean {res['mean']:.4f}  per-sample "
+                     f"{[round(s, 4) for s in res['per_sample']]}")
+
     def write_sample(frame, path_base):
         """[-1,1] sample -> .avi (3D) or .png (2D)."""
         if ndim == 3:
@@ -222,6 +253,8 @@ def main() -> None:
             from hpvaegan_tpu.eval import diversity_score
             logging.info(f"sample diversity (mean pairwise L1): "
                          f"{diversity_score(np.stack(injected)):.4f}")
+        if args.svfid:
+            report_svfid(injected)
         return
 
     # rec mode: reconstruct from the real sample's zero-scale clip
@@ -278,6 +311,8 @@ def main() -> None:
         else:
             val = diversity_score(np.stack(all_samples))
             logging.info(f"sample diversity (mean pairwise L1): {val:.4f}")
+    if args.svfid:
+        report_svfid(all_samples)
 
 
 if __name__ == "__main__":

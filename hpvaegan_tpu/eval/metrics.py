@@ -1,9 +1,10 @@
 """Lightweight evaluation metrics.
 
 The paper evaluates with SVFID + human studies (not reproduced in the
-reference repo either — BASELINE.md); SVFID needs a pretrained C3D network
-which is unavailable offline, so this module provides the practical
-self-contained metrics used to monitor single-sample generative training:
+reference repo either — BASELINE.md); SVFID lives in ``eval/svfid.py``
+(pretrained C3D weights loadable, fixed-seed random-feature fallback
+offline).  This module provides the practical self-contained metrics used
+to monitor single-sample generative training:
 
 * ``reconstruction_psnr`` — rec-mode fidelity against the real sample.
 * ``diversity_score``    — mean pairwise distance between rand-mode samples

@@ -1,0 +1,124 @@
+"""SVFID — Single-Video Frechet Inception Distance on C3D features.
+
+The HP-VAE-GAN paper's quantitative metric (arXiv 2006.12226 §5): the
+single-sample analogue of FID, following SinGAN's SIFID.  For ONE real
+video and each generated video, the distribution being compared is the set
+of C3D feature-map *positions* (every (t, h, w) site of an internal conv
+activation is one C-dimensional sample); SVFID is the Frechet distance
+between the real video's feature statistics and the fake's, averaged over
+fakes.  Not present anywhere in the reference repo (SURVEY.md §6 — the
+reference publishes no metrics); this closes that gap on the rebuild side.
+
+Weights: pass the Sports-1M pretrained C3D torch checkpoint via
+``weights_path`` (or ``$C3D_WEIGHTS``) for paper-comparable numbers; with
+no checkpoint available (this machine is offline) a fixed-seed random C3D
+is used — still a deterministic, whitened feature-space distance that
+orders models sensibly, but NOT comparable to published SVFID values.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .c3d import C3D, load_c3d_torch, preprocess, random_c3d_params
+
+__all__ = ["c3d_feature_stats", "frechet_distance", "svfid"]
+
+log = logging.getLogger(__name__)
+
+
+def _tap_min_shape(feature_layer: str):
+    """(min_T, min_HW) the pool schedule requires to reach the tap."""
+    t, hw = 1, 1
+    order = ["conv1", "conv2", "conv3a", "conv3b", "conv4a", "conv4b",
+             "conv5a", "conv5b"]
+    pools = {"conv2": (1, 2), "conv3a": (2, 2), "conv4a": (2, 2),
+             "conv5a": (2, 2)}
+    for name in order[:order.index(feature_layer) + 1]:
+        if name in pools:
+            t *= pools[name][0]
+            hw *= pools[name][1]
+    return t, hw
+
+
+def c3d_feature_stats(params, video_pm1: np.ndarray,
+                      feature_layer: str = "conv3b"):
+    """(mu, cov) over feature-map positions of one [-1,1] NTHWC video.
+
+    ``video_pm1`` is (T, H, W, 3) or (1, T, H, W, 3).
+    """
+    x = jnp.asarray(video_pm1, jnp.float32)
+    if x.ndim == 4:
+        x = x[None]
+    min_t, min_hw = _tap_min_shape(feature_layer)
+    if x.shape[1] < min_t or x.shape[2] < min_hw or x.shape[3] < min_hw:
+        raise ValueError(
+            f"video {x.shape[1:4]} too small for C3D tap {feature_layer!r} "
+            f"(needs T>={min_t}, H,W>={min_hw})")
+    model = C3D(feature_layer=feature_layer)
+    feats = jax.jit(model.apply)(params, preprocess(x))
+    flat = np.asarray(feats, np.float64).reshape(-1, feats.shape[-1])
+    mu = flat.mean(axis=0)
+    cov = np.cov(flat, rowvar=False)
+    return mu, cov
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(C1 + C2 - 2 (C1 C2)^(1/2)).
+
+    sqrtm via scipy (the standard pytorch-fid approach) with an eps*I
+    reseed when the product matrix is singular.
+    """
+    from scipy import linalg
+
+    mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
+    mu2 = np.atleast_1d(np.asarray(mu2, np.float64))
+    cov1 = np.atleast_2d(np.asarray(cov1, np.float64))
+    cov2 = np.atleast_2d(np.asarray(cov2, np.float64))
+
+    diff = mu1 - mu2
+    covmean = np.asarray(linalg.sqrtm(cov1 @ cov2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(cov1.shape[0]) * eps
+        covmean = np.asarray(linalg.sqrtm((cov1 + offset)
+                                          @ (cov2 + offset)))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
+                 - 2.0 * np.trace(covmean))
+
+
+def svfid(real_video: np.ndarray, fake_videos: Sequence[np.ndarray],
+          weights_path: Optional[str] = None,
+          feature_layer: str = "conv3b", seed: int = 0) -> dict:
+    """SVFID of each fake against the single real video.
+
+    Returns ``{"mean": float, "per_sample": [float, ...],
+    "pretrained": bool, "feature_layer": str}``.
+    """
+    weights_path = weights_path or os.environ.get("C3D_WEIGHTS", "")
+    if weights_path:
+        params = load_c3d_torch(weights_path, feature_layer)
+        pretrained = True
+    else:
+        log.warning(
+            "SVFID: no pretrained C3D weights (set $C3D_WEIGHTS or pass "
+            "weights_path) — using a fixed-seed RANDOM C3D. Scores are "
+            "deterministic and comparable to each other but NOT to "
+            "published SVFID numbers.")
+        params = random_c3d_params(feature_layer, seed)
+        pretrained = False
+
+    mu_r, cov_r = c3d_feature_stats(params, real_video, feature_layer)
+    scores = []
+    for fake in fake_videos:
+        mu_f, cov_f = c3d_feature_stats(params, fake, feature_layer)
+        scores.append(frechet_distance(mu_r, cov_r, mu_f, cov_f))
+    return {"mean": float(np.mean(scores)) if scores else float("nan"),
+            "per_sample": scores, "pretrained": pretrained,
+            "feature_layer": feature_layer}

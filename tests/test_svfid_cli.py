@@ -1,0 +1,62 @@
+"""generate.py --svfid end-to-end on a tiny 3D checkpoint (the paper's
+metric, absent from the reference — SURVEY.md §6)."""
+import logging
+import os
+import sys
+
+import pytest
+
+ASSET = os.path.join(os.path.dirname(__file__), "assets", "test_video.avi")
+
+MODEL_ARGS = [
+    "--video-path", ASSET, "--img-size", "16", "--min-size", "8",
+    "--max-size", "16", "--nfc", "8", "--num-layer", "2",
+    "--vae-levels", "2", "--latent-dim", "8", "--enc-blocks", "1",
+]
+
+
+def _main(mod_name, argv):
+    import importlib
+    mod = importlib.import_module(mod_name)
+    old = sys.argv
+    sys.argv = [mod_name + ".py"] + argv
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+
+
+@pytest.fixture(scope="module")
+def netg(tmp_path_factory):
+    run_dir = tmp_path_factory.mktemp("svfidrun")
+    _main("train_video", MODEL_ARGS + ["--niter", "2", "--batch-size", "2",
+                                       "--manualSeed", "7",
+                                       "--run-dir", str(run_dir)])
+    return os.path.join(run_dir, "test_video", "DEBUG", "experiment_0",
+                        "netG")
+
+
+def test_generate_svfid(netg, tmp_path, caplog):
+    with caplog.at_level(logging.INFO):
+        _main("generate", ["--netG", netg, "--output-dir", str(tmp_path),
+                           "--num-samples", "2", "--batch-size", "2",
+                           "--svfid", "--svfid-layer", "conv2", "--metrics"]
+              + MODEL_ARGS)
+    assert os.path.exists(tmp_path / "sample_0.avi")
+    svfid_lines = [r.message for r in caplog.records
+                   if "SVFID[conv2]" in r.message]
+    assert len(svfid_lines) == 1
+    # no pretrained weights on this machine -> random-feature mode flagged
+    assert "RANDOM C3D" in svfid_lines[0]
+    # finite positive scores for 2 samples
+    import re
+    mean = float(re.search(r"mean ([0-9.]+)", svfid_lines[0]).group(1))
+    assert mean > 0
+
+
+def test_svfid_requires_video(tmp_path):
+    with pytest.raises(ValueError, match="video metric"):
+        _main("generate", ["--netG", "/nonexistent", "--image-path",
+                           os.path.join(os.path.dirname(__file__), "assets",
+                                        "test_image.png"),
+                           "--output-dir", str(tmp_path), "--svfid"])
