@@ -72,8 +72,12 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     """||mu1-mu2||^2 + Tr(C1 + C2 - 2 (C1 C2)^(1/2)).
 
     sqrtm via scipy (the standard pytorch-fid approach) with an eps*I
-    reseed when the product matrix is singular.
+    reseed when the product matrix is singular — ReLU feature covariances
+    are routinely rank-deficient (many dead channels), so the reseed is
+    the expected path, not an error.
     """
+    import warnings
+
     from scipy import linalg
 
     mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
@@ -82,11 +86,19 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     cov2 = np.atleast_2d(np.asarray(cov2, np.float64))
 
     diff = mu1 - mu2
-    covmean = np.asarray(linalg.sqrtm(cov1 @ cov2))
-    if not np.isfinite(covmean).all():
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", linalg.LinAlgWarning)
+            covmean = np.asarray(linalg.sqrtm(cov1 @ cov2))
+        singular = not np.isfinite(covmean).all()
+    except linalg.LinAlgWarning:
+        singular = True
+    if singular:
         offset = np.eye(cov1.shape[0]) * eps
-        covmean = np.asarray(linalg.sqrtm((cov1 + offset)
-                                          @ (cov2 + offset)))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", linalg.LinAlgWarning)
+            covmean = np.asarray(linalg.sqrtm((cov1 + offset)
+                                              @ (cov2 + offset)))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
