@@ -73,7 +73,10 @@ def bench_ours(warmup: int = 3, iters: int = 30) -> float:
     cfg.ar = 1.0
     cfg.scale_idx = SCALE_IDX
     parity = os.environ.get("BENCH_PARITY", "0") == "1"
-    scan_k = 1 if parity else 10
+    scan_k = 1 if parity else int(os.environ.get("BENCH_SCAN", "10"))
+    # the chain walks whole scan chunks — keep the credited iteration
+    # count equal to the executed one for any K
+    iters = ((iters + scan_k - 1) // scan_k) * scan_k
     if not parity:
         cfg.fast_grads = True
         cfg.bf16 = True
