@@ -74,6 +74,8 @@ def bench_ours(warmup: int = 3, iters: int = 30) -> float:
     cfg.scale_idx = SCALE_IDX
     parity = os.environ.get("BENCH_PARITY", "0") == "1"
     scan_k = 1 if parity else int(os.environ.get("BENCH_SCAN", "10"))
+    if scan_k < 1:
+        raise ValueError(f"BENCH_SCAN must be >= 1, got {scan_k}")
     # the chain walks whole scan chunks — keep the credited iteration
     # count equal to the executed one for any K
     iters = ((iters + scan_k - 1) // scan_k) * scan_k

@@ -18,7 +18,6 @@ import json
 import os
 import sys
 
-import cv2
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -30,22 +29,15 @@ if "--tpu" not in sys.argv:
 
 from hpvaegan_tpu.core.config import Config
 from hpvaegan_tpu.data import SingleVideoDataset
+from hpvaegan_tpu.data.video import video_to_frames
 from hpvaegan_tpu.eval import svfid
 
 
 def read_avi(path: str) -> np.ndarray:
-    """MJPG clip (saver.write_video format) -> (T,H,W,3) RGB in [-1,1]."""
-    cap = cv2.VideoCapture(path)
-    frames = []
-    while True:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        frames.append(frame[:, :, ::-1])  # BGR -> RGB
-    cap.release()
-    if not frames:
-        raise RuntimeError(f"no frames decoded from {path}")
-    return np.stack(frames).astype(np.float32) / 127.5 - 1.0
+    """MJPG clip (saver.write_video format) -> (T,H,W,3) RGB in [-1,1],
+    via the dataset's own decoder (incl. its null-read safety guard)."""
+    raw = video_to_frames(path, 0, 10 ** 9)
+    return raw.astype(np.float32) / 255.0 * 2.0 - 1.0
 
 
 def main() -> None:

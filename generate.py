@@ -197,10 +197,8 @@ def main() -> None:
         Shapes need not match (feature statistics are per-position), so
         this also works for extrapolated (--h/w/t-factor) samples.
         """
-        if ndim != 3:
-            raise ValueError("--svfid is a video metric (needs --video-path)")
         from hpvaegan_tpu.eval import svfid as _svfid
-        dataset.generate_frames(scale)
+        dataset.generate_frames(scale)  # no-op if rec/inject already did
         real_cur, _ = dataset.get(0, hflip=False, scale_idx=scale)
         res = _svfid(np.asarray(real_cur), samples,
                      weights_path=args.c3d_weights,

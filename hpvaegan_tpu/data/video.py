@@ -77,6 +77,7 @@ class SingleVideoDataset:
         logging.info("Saving zero-level frames...")
         self.zero_scale_frames = self._generate_frames(0)  # float32 [-1,1]
         self.frames: Optional[np.ndarray] = None
+        self._frames_scale: Optional[int] = None
 
     def _generate_frames(self, scale_idx: int) -> np.ndarray:
         h, w = self.pyramid.shape2d(scale_idx)
@@ -86,8 +87,13 @@ class SingleVideoDataset:
 
     def generate_frames(self, scale_idx: int) -> None:
         """Re-decode the whole video at this scale's resolution — called once
-        per scale by the trainer (train_video.py:36)."""
+        per scale by the trainer (train_video.py:36).  Idempotent per scale:
+        a repeat call for the already-decoded scale skips the full-video
+        re-decode (generate.py may ask for the same scale twice)."""
+        if self._frames_scale == scale_idx and self.frames is not None:
+            return
         self.frames = self._generate_frames(scale_idx)
+        self._frames_scale = scale_idx
 
     def __len__(self) -> int:
         return (len(self.zero_scale_frames) - self.cfg.fps_lcm) \

@@ -17,6 +17,7 @@ orders models sensibly, but NOT comparable to published SVFID values.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Optional, Sequence
@@ -25,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .c3d import C3D, load_c3d_torch, preprocess, random_c3d_params
+from .c3d import (C3D, C3D_LAYERS, _PRE_POOL, load_c3d_torch, preprocess,
+                  random_c3d_params)
 
 __all__ = ["c3d_feature_stats", "frechet_distance", "svfid"]
 
@@ -33,17 +35,24 @@ log = logging.getLogger(__name__)
 
 
 def _tap_min_shape(feature_layer: str):
-    """(min_T, min_HW) the pool schedule requires to reach the tap."""
+    """(min_T, min_HW) the pool schedule requires to reach the tap —
+    derived from the single topology source in ``c3d.py``."""
     t, hw = 1, 1
-    order = ["conv1", "conv2", "conv3a", "conv3b", "conv4a", "conv4b",
-             "conv5a", "conv5b"]
-    pools = {"conv2": (1, 2), "conv3a": (2, 2), "conv4a": (2, 2),
-             "conv5a": (2, 2)}
-    for name in order[:order.index(feature_layer) + 1]:
-        if name in pools:
-            t *= pools[name][0]
-            hw *= pools[name][1]
-    return t, hw
+    for name, _ in C3D_LAYERS:
+        window = _PRE_POOL.get(name)
+        if window is not None:
+            t *= window[0]
+            hw *= window[1]
+        if name == feature_layer:
+            return t, hw
+    raise ValueError(f"unknown C3D layer {feature_layer!r}")
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_apply(feature_layer: str):
+    """Cached jitted C3D forward — one compile per (layer, input shape)
+    across the whole process, not per call (remote TPU compiles are slow)."""
+    return jax.jit(C3D(feature_layer=feature_layer).apply)
 
 
 def c3d_feature_stats(params, video_pm1: np.ndarray,
@@ -60,8 +69,7 @@ def c3d_feature_stats(params, video_pm1: np.ndarray,
         raise ValueError(
             f"video {x.shape[1:4]} too small for C3D tap {feature_layer!r} "
             f"(needs T>={min_t}, H,W>={min_hw})")
-    model = C3D(feature_layer=feature_layer)
-    feats = jax.jit(model.apply)(params, preprocess(x))
+    feats = _jitted_apply(feature_layer)(params, preprocess(x))
     flat = np.asarray(feats, np.float64).reshape(-1, feats.shape[-1])
     mu = flat.mean(axis=0)
     cov = np.cov(flat, rowvar=False)

@@ -110,7 +110,13 @@ def load_c3d_torch(weights_path: str, feature_layer: str) -> Dict[str, Any]:
     """
     import torch
 
-    state = torch.load(weights_path, map_location="cpu")
+    # weights_only=False: the classic c3d.pickle mirrors are full-module
+    # pickles, which torch>=2.6's weights_only=True default refuses to load
+    try:
+        state = torch.load(weights_path, map_location="cpu",
+                           weights_only=False)
+    except TypeError:  # torch < 1.13 has no weights_only kwarg
+        state = torch.load(weights_path, map_location="cpu")
     if hasattr(state, "state_dict"):
         state = state.state_dict()
     state = {k[len("module."):] if k.startswith("module.") else k: v

@@ -1,7 +1,7 @@
 """Lightweight evaluation metrics.
 
 The paper evaluates with SVFID + human studies (not reproduced in the
-reference repo either — BASELINE.md); SVFID lives in ``eval/svfid.py``
+reference repo either — BASELINE.md); SVFID lives in ``eval/_svfid.py``
 (pretrained C3D weights loadable, fixed-seed random-feature fallback
 offline).  This module provides the practical self-contained metrics used
 to monitor single-sample generative training:

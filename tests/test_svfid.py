@@ -9,8 +9,8 @@ import torch.nn as tnn
 
 from hpvaegan_tpu.eval.c3d import (C3D, load_c3d_torch, preprocess,
                                    random_c3d_params)
-from hpvaegan_tpu.eval.svfid import (c3d_feature_stats, frechet_distance,
-                                     svfid)
+from hpvaegan_tpu.eval._svfid import (c3d_feature_stats, frechet_distance,
+                                      svfid)
 
 
 class TorchC3DTrunk(tnn.Module):
@@ -87,6 +87,19 @@ def test_load_c3d_torch_roundtrip(rng, tmp_path):
         theirs = tmodel(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
     np.testing.assert_allclose(
         ours, theirs.numpy().transpose(0, 2, 3, 4, 1), rtol=2e-3, atol=2e-4)
+
+
+def test_load_c3d_full_module_pickle(rng, tmp_path):
+    """The classic c3d.pickle mirrors are full-module pickles, not state
+    dicts — loader must unwrap them (needs weights_only=False on
+    torch>=2.6)."""
+    tmodel = TorchC3DTrunk()
+    ckpt = tmp_path / "c3d_module.pth"
+    torch.save(tmodel, ckpt)
+    params = load_c3d_torch(str(ckpt), "conv1")
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["conv1"]["bias"]),
+        tmodel.conv1.bias.detach().numpy())
 
 
 def test_load_c3d_missing_key(tmp_path):
