@@ -72,3 +72,36 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape[0] == 2
+
+
+def test_spmd_training_cli_e2e(tmp_path):
+    """Full train_video.py run with --spmd --mesh-shape 2x4 on the virtual
+    mesh: both phases + stage growth + checkpointing execute SPMD (the
+    CLI-level complement of the forward-equivalence test above)."""
+    import importlib
+    import json
+    import os
+    import sys
+
+    asset = os.path.join(os.path.dirname(__file__), "assets",
+                         "test_video.avi")
+    mod = importlib.import_module("train_video")
+    argv = ["train_video.py", "--video-path", asset, "--img-size", "16",
+            "--min-size", "8", "--max-size", "16", "--niter", "2",
+            "--nfc", "8", "--num-layer", "2", "--batch-size", "2",
+            "--vae-levels", "2", "--latent-dim", "8", "--enc-blocks", "1",
+            "--manualSeed", "11", "--spmd", "--mesh-shape", "2x4",
+            "--run-dir", str(tmp_path)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+
+    exp = os.path.join(tmp_path, "test_video", "DEBUG", "experiment_0")
+    with open(os.path.join(exp, "Noise_Amps.json")) as f:
+        amps = json.load(f)["noise_amps"]
+    assert len(amps) == 5 and all(np.isfinite(a) for a in amps)
+    assert os.path.exists(os.path.join(exp, "netG"))
+    assert os.path.exists(os.path.join(exp, "netD_4"))
