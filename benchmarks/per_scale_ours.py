@@ -1,8 +1,10 @@
 """Per-scale train-step throughput, ours on 1 TPU chip, default config.
 
-Usage: [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1] [FAST=1] [BF16=1] [FUSED=1]
-       [SCAN=K] python benchmarks/per_scale_ours.py [scales...]
+Usage: [NDIM=2] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1] [FAST=1] [BF16=1]
+       [FUSED=1] [SCAN=K] python benchmarks/per_scale_ours.py [scales...]
 Numbers recorded in BENCHMARKS.md "Per-scale train-step throughput".
+NDIM=2 measures the 2D image pipeline (train_image.py workload); default
+is the 3D video pipeline.
 
 VAE phase for scales < 3, full WGAN-GP GAN phase for scales >= 3
 (vae_levels=3 default).  Chain-timed.
@@ -49,22 +51,29 @@ for SCALE in SCALES:
     cfg.bf16 = _os.environ.get("BF16", "0") == "1"
     cfg.fused_forwards = _os.environ.get("FUSED", "0") == "1"
     SCAN = int(_os.environ.get("SCAN", "1"))
+    NDIM = int(_os.environ.get("NDIM", "3"))
     cfg.adjust_scales()
     cfg.ar = 1.0
     cfg.scale_idx = SCALE
-    pyr = Pyramid.for_video(cfg.img_size, 1.0, cfg.min_size, cfg.max_size,
-                            cfg.scale_factor_init, (4, 3, 2, 1), 30.0)
+    if NDIM == 3:
+        pyr = Pyramid.for_video(cfg.img_size, 1.0, cfg.min_size,
+                                cfg.max_size, cfg.scale_factor_init,
+                                (4, 3, 2, 1), 30.0)
+    else:
+        pyr = Pyramid.for_image(cfg.img_size, 1.0, cfg.min_size,
+                                cfg.max_size, cfg.scale_factor_init)
     key = jax.random.PRNGKey(0)
-    G = make_generator("GeneratorHPVAEGAN", cfg, pyr, 3)
+    G = make_generator("GeneratorHPVAEGAN", cfg, pyr, NDIM)
     gvars = G.init(key, 1)
     for i in range(SCALE):
         gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
     batch = 2
+    shp = pyr.shape3d if NDIM == 3 else pyr.shape2d
     gan = cfg.vae_levels < SCALE + 1
     if gan:
-        D = make_discriminator("WDiscriminator3D", cfg, 3)
+        D = make_discriminator(f"WDiscriminator{NDIM}D", cfg, NDIM)
         dvars = init_discriminator(D, jax.random.fold_in(key, 1),
-                                   (batch, *pyr.shape3d(SCALE), 3))
+                                   (batch, *shp(SCALE), 3))
         tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
     else:
         D = dvars = tx_d = opt_d = None
@@ -74,12 +83,13 @@ for SCALE in SCALES:
     steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d, group_plan=(ml, bl))
 
     real = jax.random.normal(jax.random.fold_in(key, 2),
-                             (batch, *pyr.shape3d(SCALE), 3))
+                             (batch, *shp(SCALE), 3))
     real_zero = jax.random.normal(jax.random.fold_in(key, 3),
-                                  (batch, *pyr.shape3d(0), 3))
-    noise_init = jax.random.normal(
-        jax.random.fold_in(key, 4),
-        (batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim))
+                                  (batch, *shp(0), 3))
+    noise_shape = ((batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim)
+                   if NDIM == 3
+                   else (batch, *pyr.shape2d(0), cfg.latent_dim))
+    noise_init = jax.random.normal(jax.random.fold_in(key, 4), noise_shape)
     amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
 
     def _stack(x):
@@ -145,7 +155,8 @@ for SCALE in SCALES:
     dt = time.perf_counter() - t0
     rate = n / dt
     phase = "gan" if gan else "vae"
-    print(f"scale {SCALE} ({phase}, td={pyr.td(SCALE)}, "
+    td_tag = f"td={pyr.td(SCALE)}, " if NDIM == 3 else ""
+    print(f"scale {SCALE} ({phase}, {td_tag}"
           f"hw={pyr.shape2d(SCALE)}): warmup {warm:.0f}s, "
           f"{rate:.2f} it/s", flush=True)
     results[SCALE] = {"phase": phase, "it_per_s": round(rate, 3)}

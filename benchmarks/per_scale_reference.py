@@ -1,7 +1,10 @@
 """Per-scale train-step throughput of the UNMODIFIED reference (torch CPU).
 
 Mirrors bench.py's reference driver at an arbitrary scale; VAE phase below
-vae_levels=3, full WGAN-GP GAN phase above.  Usage: bench_scales_ref.py 0 2 4
+vae_levels=3, full WGAN-GP GAN phase above.  Usage:
+[NDIM=2] python benchmarks/per_scale_reference.py 0 2 4
+NDIM=2 measures networks_2d / train_image.py's workload (4-D tensors, no
+temporal axis); default is the 3-D video workload.
 """
 import argparse, json, os, sys, time, types
 
@@ -16,7 +19,11 @@ for name in ("torchvision", "torchvision.utils", "torchvision.transforms"):
             m.make_grid = lambda *a, **k: None
         sys.modules[name] = m
 sys.path.insert(0, "/root/reference")
-from modules import networks_3d
+NDIM = int(os.environ.get("NDIM", "3"))
+if NDIM == 3:
+    from modules import networks_3d as networks
+else:
+    from modules import networks_2d as networks
 from modules.losses import kl_criterion
 from modules.utils import calc_gradient_penalty
 import utils as ref_utils
@@ -37,14 +44,14 @@ for SCALE in SCALES:
     if opt.stop_scale_time == -1:
         opt.stop_scale_time = opt.stop_scale
 
-    netG = networks_3d.GeneratorHPVAEGAN(opt)
+    netG = networks.GeneratorHPVAEGAN(opt)
     for _ in range(SCALE):
         netG.init_next_stage()
     optimizerG = optim.Adam(netG.parameters(), lr=opt.lr_g,
                             betas=(opt.beta1, 0.999))
     gan = opt.vae_levels < SCALE + 1
     if gan:
-        netD = networks_3d.WDiscriminator3D(opt)
+        netD = getattr(networks, f"WDiscriminator{NDIM}D")(opt)
         optimizerD = optim.Adam(netD.parameters(), lr=opt.lr_d,
                                 betas=(opt.beta1, 0.999))
 
@@ -55,9 +62,14 @@ for SCALE in SCALES:
     size_s = ref_utils.get_scales_by_index(SCALE, opt.scale_factor,
                                            opt.stop_scale, opt.img_size)
     b = 2
-    real = torch.randn(b, 3, td_s, size_s, size_s)
-    real_zero = torch.randn(b, 3, td0, size0, size0)
-    noise_init = torch.randn(b, opt.latent_dim, td0, size0, size0)
+    if NDIM == 3:
+        real = torch.randn(b, 3, td_s, size_s, size_s)
+        real_zero = torch.randn(b, 3, td0, size0, size0)
+        noise_init = torch.randn(b, opt.latent_dim, td0, size0, size0)
+    else:
+        real = torch.randn(b, 3, size_s, size_s)
+        real_zero = torch.randn(b, 3, size0, size0)
+        noise_init = torch.randn(b, opt.latent_dim, size0, size0)
     noise_amps = [0.1] * (SCALE + 1)
 
     def one_iter():
@@ -86,8 +98,12 @@ for SCALE in SCALES:
         torch.nn.utils.clip_grad_norm_(netG.parameters(), opt.grad_clip)
         optimizerG.step()
 
-    warm = 1 if SCALE < 7 else 0
-    iters = 3 if SCALE < 7 else (2 if SCALE < 9 else 1)
+    if NDIM == 3:
+        warm = 1 if SCALE < 7 else 0
+        iters = 3 if SCALE < 7 else (2 if SCALE < 9 else 1)
+    else:  # 2D is ~an order of magnitude cheaper per step
+        warm = 1
+        iters = 10 if SCALE < 7 else 3
     for _ in range(warm):
         one_iter()
     t0 = time.perf_counter()
@@ -96,7 +112,8 @@ for SCALE in SCALES:
     dt = time.perf_counter() - t0
     rate = iters / dt
     phase = "gan" if gan else "vae"
-    print(f"scale {SCALE} ({phase}, td={td_s}, {size_s}px): "
+    td_tag = f"td={td_s}, " if NDIM == 3 else ""
+    print(f"scale {SCALE} ({phase}, {td_tag}{size_s}px): "
           f"{iters} iters in {dt:.1f}s -> {rate:.4f} it/s", flush=True)
     results[SCALE] = {"phase": phase, "it_per_s": round(rate, 5)}
 
