@@ -1,7 +1,8 @@
 """Full-res rand-mode generation throughput, f32 vs bf16.
 
-Default model geometry (9 refinement stages, 256px, 13 frames), batch 2,
-1 TPU chip.  Chain-timed (dependent steps ended by scalar fetch).
+Default model geometry (9 refinement stages, 256px; 13 frames for the 3D
+model), batch 2, 1 TPU chip.  Chain-timed (dependent steps ended by a
+scalar fetch).  NDIM=2 measures the 2D image generator (images/sec).
 """
 import sys, time
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
@@ -17,6 +18,7 @@ from hpvaegan_tpu.core.pyramid import Pyramid
 from hpvaegan_tpu.models.registry import make_generator
 
 BF16 = len(sys.argv) > 1 and sys.argv[1] == "bf16"
+NDIM = int(__import__("os").environ.get("NDIM", "3"))
 
 cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
              vae_levels=3, batch_size=2, img_size=256, min_size=32,
@@ -24,20 +26,25 @@ cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
 cfg.bf16 = BF16
 cfg.adjust_scales()
 cfg.ar = 1.0
-pyr = Pyramid.for_video(256, 1.0, 32, 256, cfg.scale_factor_init,
-                        (4, 3, 2, 1), 30.0)
+if NDIM == 3:
+    pyr = Pyramid.for_video(256, 1.0, 32, 256, cfg.scale_factor_init,
+                            (4, 3, 2, 1), 30.0)
+else:
+    pyr = Pyramid.for_image(256, 1.0, 32, 256, cfg.scale_factor_init)
 SCALE = cfg.stop_scale  # 9
 cfg.scale_idx = SCALE
 
 key = jax.random.PRNGKey(0)
-G = make_generator("GeneratorHPVAEGAN", cfg, pyr, 3)
+G = make_generator("GeneratorHPVAEGAN", cfg, pyr, NDIM)
 gvars = G.init(key, 1)
 for i in range(SCALE):
     gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
 amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
 
 batch = 2
-noise_shape = (batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim)
+noise_shape = ((batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim)
+               if NDIM == 3 else
+               (batch, *pyr.shape2d(0), cfg.latent_dim))
 
 
 @jax.jit
@@ -67,8 +74,8 @@ N = 20
 t0 = time.perf_counter()
 chain(N, 2)
 dt = time.perf_counter() - t0
-td = pyr.td(SCALE)
-frames = N * batch * td
-print(f"[{mode}] {N} batches ({frames} frames of "
+frames = N * batch * (pyr.td(SCALE) if NDIM == 3 else 1)
+unit = "frames" if NDIM == 3 else "images"
+print(f"[{mode}] {N} batches ({frames} {unit} of "
       f"{pyr.shape2d(SCALE)}) in {dt:.2f}s -> "
-      f"{1000*dt/N:.1f} ms/batch, {frames/dt:.0f} frames/s", flush=True)
+      f"{1000*dt/N:.1f} ms/batch, {frames/dt:.0f} {unit}/s", flush=True)
