@@ -54,6 +54,22 @@ def test_generate_svfid(netg, tmp_path, caplog):
     assert mean > 0
 
 
+def test_temporal_extrapolation(netg, tmp_path):
+    """--t-factor 2 doubles the generated clip length (fully-convolutional
+    pyramid; the 3D counterpart of the 2D h/w-factor test)."""
+    import cv2
+    _main("generate", ["--netG", netg, "--output-dir", str(tmp_path),
+                       "--num-samples", "1", "--batch-size", "1",
+                       "--t-factor", "2.0"] + MODEL_ARGS)
+    cap = cv2.VideoCapture(str(tmp_path / "sample_0.avi"))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    # base pyramid: td=13 at the stop scale; t-factor 2 -> 26 frames
+    assert n == 26
+
+
 def test_svfid_requires_video(tmp_path):
     with pytest.raises(ValueError, match="video metric"):
         _main("generate", ["--netG", "/nonexistent", "--image-path",
