@@ -14,7 +14,6 @@ from hpvaegan_tpu.core.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from hpvaegan_tpu.core.config import Config
-from hpvaegan_tpu.core.pyramid import Pyramid
 from hpvaegan_tpu.models.registry import make_generator
 
 BF16 = len(sys.argv) > 1 and sys.argv[1] == "bf16"
@@ -26,11 +25,8 @@ cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
 cfg.bf16 = BF16
 cfg.adjust_scales()
 cfg.ar = 1.0
-if NDIM == 3:
-    pyr = Pyramid.for_video(256, 1.0, 32, 256, cfg.scale_factor_init,
-                            (4, 3, 2, 1), 30.0)
-else:
-    pyr = Pyramid.for_image(256, 1.0, 32, 256, cfg.scale_factor_init)
+from _geometry import make_pyramid, noise_init_shape  # noqa: E402
+pyr = make_pyramid(cfg, NDIM)
 SCALE = cfg.stop_scale  # 9
 cfg.scale_idx = SCALE
 
@@ -42,9 +38,7 @@ for i in range(SCALE):
 amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
 
 batch = 2
-noise_shape = ((batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim)
-               if NDIM == 3 else
-               (batch, *pyr.shape2d(0), cfg.latent_dim))
+noise_shape = noise_init_shape(pyr, batch, cfg.latent_dim, NDIM)
 
 
 @jax.jit
@@ -70,7 +64,9 @@ t0 = time.perf_counter()
 chain(2, 1)
 print(f"[{mode}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
       flush=True)
-N = 20
+# 2D batches are ~10 ms: use a longer chain so the ~40 ms relay scalar
+# fetch amortizes instead of inflating ms/batch
+N = 20 if NDIM == 3 else 200
 t0 = time.perf_counter()
 chain(N, 2)
 dt = time.perf_counter() - t0

@@ -23,7 +23,6 @@ from hpvaegan_tpu.core.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from hpvaegan_tpu.core.config import Config
-from hpvaegan_tpu.core.pyramid import Pyramid
 from hpvaegan_tpu.models.registry import make_discriminator, make_generator
 from hpvaegan_tpu.train.optim import (build_d_optimizer, build_g_optimizer,
                                       dparams_view, gparams_view,
@@ -55,20 +54,15 @@ for SCALE in SCALES:
     cfg.adjust_scales()
     cfg.ar = 1.0
     cfg.scale_idx = SCALE
-    if NDIM == 3:
-        pyr = Pyramid.for_video(cfg.img_size, 1.0, cfg.min_size,
-                                cfg.max_size, cfg.scale_factor_init,
-                                (4, 3, 2, 1), 30.0)
-    else:
-        pyr = Pyramid.for_image(cfg.img_size, 1.0, cfg.min_size,
-                                cfg.max_size, cfg.scale_factor_init)
+    from _geometry import make_pyramid, noise_init_shape, shape_at
+    pyr = make_pyramid(cfg, NDIM)
     key = jax.random.PRNGKey(0)
     G = make_generator("GeneratorHPVAEGAN", cfg, pyr, NDIM)
     gvars = G.init(key, 1)
     for i in range(SCALE):
         gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
     batch = 2
-    shp = pyr.shape3d if NDIM == 3 else pyr.shape2d
+    shp = lambda i: shape_at(pyr, i, NDIM)  # noqa: E731
     gan = cfg.vae_levels < SCALE + 1
     if gan:
         D = make_discriminator(f"WDiscriminator{NDIM}D", cfg, NDIM)
@@ -86,10 +80,9 @@ for SCALE in SCALES:
                              (batch, *shp(SCALE), 3))
     real_zero = jax.random.normal(jax.random.fold_in(key, 3),
                                   (batch, *shp(0), 3))
-    noise_shape = ((batch, pyr.td(0), *pyr.shape2d(0), cfg.latent_dim)
-                   if NDIM == 3
-                   else (batch, *pyr.shape2d(0), cfg.latent_dim))
-    noise_init = jax.random.normal(jax.random.fold_in(key, 4), noise_shape)
+    noise_init = jax.random.normal(
+        jax.random.fold_in(key, 4),
+        noise_init_shape(pyr, batch, cfg.latent_dim, NDIM))
     amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
 
     def _stack(x):
@@ -148,7 +141,16 @@ for SCALE in SCALES:
     t0 = time.perf_counter()
     run(3, 10)
     warm = time.perf_counter() - t0
-    n = 30 if SCALE < 7 else 15
+    # calibrate the chain length so the timed window is >=2 s: a fixed
+    # 30-step chain under-amortizes the ~40 ms relay scalar fetch at fast
+    # scales (e.g. 400+ it/s 2D VAE steps -> fetch alone is ~40% of the
+    # window and understates throughput by >1.5x)
+    ncal = max(SCAN, 5 if SCALE >= 7 else 15)
+    ncal = ((ncal + SCAN - 1) // SCAN) * SCAN
+    t0 = time.perf_counter()
+    run(ncal, 30)
+    est = ncal / (time.perf_counter() - t0)
+    n = min(3000, max(15, int(est * 2.0)))
     n = ((n + SCAN - 1) // SCAN) * SCAN  # whole scan chunks
     t0 = time.perf_counter()
     run(n, 50)
