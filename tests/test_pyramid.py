@@ -72,3 +72,32 @@ def test_scaled_pyramid_extrapolation():
     # untouched attributes delegate to the base pyramid
     assert sp.stop_scale == base.stop_scale
     assert sp.fps(3) == base.fps(3)
+
+
+def test_benchmark_geometry_matches_trainer_z_init():
+    """benchmarks/_geometry.noise_init_shape must equal the trainer's
+    Z_init geometry (train_video.py:39-42: scale-0 td/h/w, latent chans)
+    so the benchmarks measure the real training workload."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    from _geometry import make_pyramid, noise_init_shape
+
+    from hpvaegan_tpu.core.config import Config
+
+    cfg = Config(img_size=256, min_size=32, max_size=256, latent_dim=128,
+                 batch_size=2)
+    cfg.adjust_scales()
+    cfg.ar = 1.0
+
+    pyr3 = make_pyramid(cfg, 3)
+    h0, w0 = pyr3.shape2d(0)
+    # trainer (3D): [batch, td@first-trained-scale, h0, w0, latent] where
+    # training from scratch sets cfg.td = pyramid.td(0)
+    assert noise_init_shape(pyr3, 2, 128, 3) == (2, pyr3.td(0), h0, w0, 128)
+
+    pyr2 = make_pyramid(cfg, 2)
+    h0, w0 = pyr2.shape2d(0)
+    assert noise_init_shape(pyr2, 2, 128, 2) == (2, h0, w0, 128)
