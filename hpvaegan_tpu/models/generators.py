@@ -76,11 +76,21 @@ def _apply_bn_module(mod, mvars, x, train, remat=False):
 class _PyramidMixin:
     pyramid: Pyramid
     ndim: int
+    # SPMD: when the trainer wires a device mesh in (make_*_steps(mesh=...)),
+    # every inter-stage upscale re-anchors the activation's 'spatial'
+    # sharding — the resize is a dense H-mixing matmul, so XLA propagation
+    # alone cannot carry a spatial partition across stage boundaries.
+    mesh = None
 
     def _upscale(self, x: jnp.ndarray, index: int) -> jnp.ndarray:
         if self.ndim == 3:
-            return interpolate_3d(x, self.pyramid.shape3d(index))
-        return interpolate_2d(x, self.pyramid.shape2d(index))
+            x = interpolate_3d(x, self.pyramid.shape3d(index))
+        else:
+            x = interpolate_2d(x, self.pyramid.shape2d(index))
+        if self.mesh is not None:
+            from ..parallel.mesh import spatial_constraint
+            x = spatial_constraint(x, self.mesh)
+        return x
 
     def _scale0_shape(self, batch: int, channels: int) -> Tuple[int, ...]:
         if self.ndim == 3:

@@ -1,7 +1,8 @@
 from .distributed import maybe_initialize
 from .mesh import (batch_spec, default_mesh_shape, make_mesh,
-                   parse_mesh_shape, replicate, shard_batch, shard_gvars)
+                   parse_mesh_shape, replicate, shard_batch, shard_gvars,
+                   spatial_constraint)
 
 __all__ = ["batch_spec", "default_mesh_shape", "make_mesh",
            "parse_mesh_shape", "replicate", "shard_batch", "shard_gvars",
-           "maybe_initialize"]
+           "spatial_constraint", "maybe_initialize"]

@@ -88,7 +88,7 @@ def update_d_spectral(dvars: Dict[str, Any]) -> Dict[str, Any]:
 
 def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                         tx_d: Optional[optax.GradientTransformation],
-                        group_plan=None):
+                        group_plan=None, mesh=None):
     """Build the jitted (calibrate, vae_step, gan_step, sample) functions for
     one scale.  G is a generator orchestrator, D a critic module (or None in
     the VAE phase).
@@ -98,7 +98,21 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     subtree: XLA dead-code-eliminates the backward pass through frozen
     stages.  Deviation from exact reference parity: the global grad-clip
     norm then covers trainable grads only (the reference's frozen-but-
-    reachable stages contribute to its clip norm, train_video.py:201)."""
+    reachable stages contribute to its clip norm, train_video.py:201).
+
+    ``mesh``: when given (--spmd), batch inputs and the generated fake get
+    in-step uneven sharding constraints (parallel/mesh.spatial_constraint)
+    so activations span the 'spatial' mesh axis even when H is not
+    divisible by it — the replacement for the reference's DataParallel
+    scatter (train_video.py:91-96)."""
+    from ..parallel import spatial_constraint
+
+    def shard_act(x):
+        return spatial_constraint(x, mesh)
+
+    # inter-stage upscales re-anchor the spatial sharding inside G.apply
+    # (resize = dense H-mixing matmul; propagation alone loses the split)
+    G.mesh = mesh
 
     rec_weight = cfg.rec_weight
     kl_weight = cfg.kl_weight
@@ -132,12 +146,14 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     def calibrate(gvars, real, real_zero, amps, key):
         """Noise-amp RMSE probe (train_video.py:131-145): rec forward in
         train mode, returns sqrt(MSE(real, reconstruction))."""
+        real, real_zero = shard_act(real), shard_act(real_zero)
         (out, _, _), new_gvars = G.apply(gvars, amps, key,
                                          real_zero=real_zero, mode="rec",
                                          train=True)
         return jnp.sqrt(mse(real, out)), new_gvars
 
     def _vae_body(gvars, opt_g, real, real_zero, amps, key):
+        real, real_zero = shard_act(real), shard_act(real_zero)
         gvars = update_g_spectral(gvars)
 
         def loss_fn(params_view):
@@ -189,6 +205,8 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
 
     def _gan_body(gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
                   amps, key):
+        real, real_zero = shard_act(real), shard_act(real_zero)
+        noise_init = shard_act(noise_init)
         k_fake, k_gp, k_rec = jax.random.split(key, 3)
         gvars = update_g_spectral(gvars)
         dvars = update_d_spectral(dvars)
@@ -208,7 +226,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             (fake, _, _), _ = G.apply(gvars, amps, k_fake,
                                       noise_init=noise_init, mode="rand",
                                       train=True)
-        fake = jax.lax.stop_gradient(fake)
+        fake = shard_act(jax.lax.stop_gradient(fake))
         nb = real.shape[0]
 
         def d_loss_fn(dparams):
@@ -314,10 +332,16 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
 # ---------------------------------------------------------------------------
 
 def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
-                        tx_d: optax.GradientTransformation):
+                        tx_d: optax.GradientTransformation, mesh=None):
     """SinGAN/ConSinGAN pure-GAN steps: Dsteps critic loop, fixed Z_init
     reconstruction, Gsteps-times-applied generator update
-    (train_video_baselines.py:24-173)."""
+    (train_video_baselines.py:24-173).  ``mesh``: see make_hpvaegan_steps."""
+    from ..parallel import spatial_constraint
+
+    def shard_act(x):
+        return spatial_constraint(x, mesh)
+
+    G.mesh = mesh
 
     alpha = cfg.alpha
     disc_w = cfg.disc_loss_weight
@@ -336,6 +360,8 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def step(gvars, dvars, opt_g, opt_d, real, noise_init, z_init, amps, key):
+        real = shard_act(real)
+        noise_init, z_init = shard_act(noise_init), shard_act(z_init)
         k_gp = jax.random.fold_in(key, 0)
         # the default baselines critic is the SN WDiscriminator3D
         # (train_video_baselines.py:233) — run its power iteration
@@ -348,7 +374,7 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         for j in range(dsteps):
             fake, gvars = G.apply(gvars, amps, key, noise_init=noise_init,
                                   mode="rand", train=True)
-            fake = jax.lax.stop_gradient(fake)
+            fake = shard_act(jax.lax.stop_gradient(fake))
 
             def d_loss_fn(dparams, fake=fake):
                 dv = merge_dparams(dvars, dparams)

@@ -80,14 +80,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
                                     lrs, cfg.grad_clip)
 
-    def _rebuild():
-        return make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
-                                   group_plan=(module_labels, body_labels))
-
-    dispatch = oom_dispatch(cfg, scale_idx, _rebuild)
-
     # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB) ----
-    place = None
+    place = mesh = None
     if cfg.spmd and cfg.mesh_shape:
         from ..parallel import (make_mesh, parse_mesh_shape, shard_batch,
                                 shard_gvars)
@@ -98,6 +92,13 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
             dvars = shard_gvars(dvars, mesh)
             opt_d = shard_gvars(opt_d, mesh)
         place = lambda a: shard_batch(a, mesh, ndim)  # noqa: E731
+
+    def _rebuild():
+        return make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
+                                   group_plan=(module_labels, body_labels),
+                                   mesh=mesh)
+
+    dispatch = oom_dispatch(cfg, scale_idx, _rebuild)
 
     loader = BatchLoader(dataset, cfg.batch_size,
                          seed=(cfg.manualSeed or 0) * 1000 + scale_idx,

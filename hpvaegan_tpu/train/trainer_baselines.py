@@ -65,12 +65,27 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
     tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
                                     lrs, grad_clip=None)
 
+    # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB),
+    # same wiring as trainer.py ----
+    place = mesh = None
+    if cfg.spmd and cfg.mesh_shape:
+        from ..parallel import (make_mesh, parse_mesh_shape, shard_batch,
+                                shard_gvars)
+        mesh = make_mesh(parse_mesh_shape(cfg.mesh_shape))
+        gvars = shard_gvars(gvars, mesh)
+        opt_g = shard_gvars(opt_g, mesh)
+        dvars = shard_gvars(dvars, mesh)
+        opt_d = shard_gvars(opt_d, mesh)
+        cfg.Z_init = shard_batch(cfg.Z_init, mesh, 3)
+        place = lambda a: shard_batch(a, mesh, 3)  # noqa: E731
+
     dispatch = oom_dispatch(cfg, scale_idx,
-                            lambda: make_baseline_steps(G, D, cfg, tx_g, tx_d))
+                            lambda: make_baseline_steps(G, D, cfg, tx_g, tx_d,
+                                                        mesh=mesh))
 
     loader = BatchLoader(dataset, cfg.batch_size,
                          seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-                         scale_idx=scale_idx)
+                         scale_idx=scale_idx, device=place)
     bar = create_progressbar(
         iterable=range(cfg.niter),
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
@@ -84,6 +99,8 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
 
             noise_init = jax.random.normal(k_noise, cfg.Z_init.shape,
                                            cfg.Z_init.dtype)
+            if place is not None:
+                noise_init = place(noise_init)
 
             if iteration == 0:
                 if len(cfg.Noise_Amps) >= scale_idx + 1:
