@@ -128,7 +128,7 @@ def bench_ours(warmup: int = 3, iters: int = 30) -> float:
                                         scan_k)
                 *state, metrics = steps["gan_scan_step"](
                     *state, reals, rzs, nis, amps, keys)
-            return state, float(metrics["loss"])  # forces the whole chain
+            return state, float(jnp.ravel(metrics["loss"])[-1])  # forces the whole chain
     else:
         def run_chain(state, n, seed):
             metrics = None
@@ -136,7 +136,7 @@ def bench_ours(warmup: int = 3, iters: int = 30) -> float:
                 *state, metrics = steps["gan_step"](
                     *state, real, real_zero, noise_init, amps,
                     jax.random.fold_in(key, seed + i))
-            return state, float(metrics["loss"])  # forces the whole chain
+            return state, float(jnp.ravel(metrics["loss"])[-1])  # forces the whole chain
 
     state = [gvars, dvars, opt_g, opt_d]
     log(f"[ours] compiling gan_step on {jax.devices()[0].platform} "
@@ -272,11 +272,17 @@ def get_baseline() -> float:
 def main() -> None:
     ours = bench_ours()
     baseline = get_baseline()
+    # "mode" disambiguates the measurement semantics (ADVICE r1): "fast" =
+    # the recommended real-run stack (bf16 + fast-grads + scan-10, a
+    # documented parity deviation), "parity" = exact reference grad/clip
+    # semantics in f32 (BENCH_PARITY=1).
+    parity = os.environ.get("BENCH_PARITY", "0") == "1"
     print(json.dumps({
         "metric": "train3d_gan_step_iters_per_sec_scale5",
         "value": round(ours, 4),
         "unit": "iter/s",
         "vs_baseline": round(ours / baseline, 2),
+        "mode": "parity" if parity else "fast",
     }))
 
 

@@ -103,7 +103,7 @@ for SCALE in SCALES:
                     *s, m = steps["gan_scan_step"](*s, reals, rzs, nis, amps,
                                                    keys)
                 state[:] = s
-                return float(m["loss"])
+                return float(jnp.ravel(m["loss"])[-1])
         else:
             def run(n, seed):
                 m = None
@@ -112,7 +112,7 @@ for SCALE in SCALES:
                     *s, m = steps["gan_step"](*s, real, real_zero, noise_init,
                                               amps, jax.random.fold_in(key, seed+i))
                 state[:] = s
-                return float(m["loss"])
+                return float(jnp.ravel(m["loss"])[-1])
     else:
         state = [gvars, opt_g]
 
@@ -127,7 +127,7 @@ for SCALE in SCALES:
                                             SCAN)
                     *s, m = steps["vae_scan_step"](*s, reals, rzs, amps, keys)
                 state[:] = s
-                return float(m["loss"])
+                return float(jnp.ravel(m["loss"])[-1])
         else:
             def run(n, seed):
                 m = None
@@ -136,7 +136,7 @@ for SCALE in SCALES:
                     *s, m = steps["vae_step"](*s, real, real_zero, amps,
                                               jax.random.fold_in(key, seed + i))
                 state[:] = s
-                return float(m["loss"])
+                return float(jnp.ravel(m["loss"])[-1])
 
     t0 = time.perf_counter()
     run(3, 10)
@@ -149,7 +149,12 @@ for SCALE in SCALES:
     ncal = ((ncal + SCAN - 1) // SCAN) * SCAN
     t0 = time.perf_counter()
     run(ncal, 30)
-    est = ncal / (time.perf_counter() - t0)
+    dt_cal = time.perf_counter() - t0
+    # fetch-corrected estimate (ADVICE r1): the calibration window includes
+    # one ~40 ms relay scalar fetch; dividing by the raw dt understates the
+    # true rate at fast scales, leaving the final window short of 2 s
+    FETCH = 0.04
+    est = ncal / max(dt_cal - FETCH, 1e-3)
     n = min(3000, max(15, int(est * 2.0)))
     n = ((n + SCAN - 1) // SCAN) * SCAN  # whole scan chunks
     t0 = time.perf_counter()

@@ -92,6 +92,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# training-time keys restored from the experiment's config.json snapshot
+# (written at train start); any flag the user passes explicitly wins
+_SNAPSHOT_KEYS = (
+    "generator", "nc_im", "nfc", "latent_dim", "vae_levels", "enc_blocks",
+    "ker_size", "num_layer", "padd_size", "scale_factor", "noise_amp",
+    "min_size", "max_size", "img_size", "sampling_rates", "stop_scale_time",
+    "start_frame", "max_frames", "train_all", "bf16",
+    "video_path", "image_path",
+)
+
+
+def _explicit_cli_keys(argv=None) -> set:
+    """Which dest names were explicitly present on the command line (parse
+    with every default suppressed)."""
+    p = build_parser()
+    for action in p._actions:
+        action.default = argparse.SUPPRESS
+        action.required = False
+    return set(vars(p.parse_args(argv)).keys())
+
+
 def main() -> None:
     args = build_parser().parse_args()
     logging.basicConfig(level=logging.INFO)
@@ -102,6 +123,38 @@ def main() -> None:
         if hasattr(cfg, attr):
             setattr(cfg, attr, tuple(value) if attr == "sampling_rates"
                     else value)
+
+    # auto-load the experiment's resolved config snapshot (VERDICT r1 item
+    # 4): `--netG <ckpt>` alone rebuilds the exact training module tree; a
+    # mismatched hand-specified tree previously failed only at restore.
+    snap_path = os.path.join(os.path.dirname(args.netG), "config.json")
+    if os.path.isfile(snap_path):
+        import json
+        with open(snap_path) as f:
+            snap = json.load(f)
+        explicit = _explicit_cli_keys()
+        applied = []
+        for key in _SNAPSHOT_KEYS:
+            if key not in snap or key in explicit:
+                continue
+            if key in ("video_path", "image_path") and (
+                    args.video_path or args.image_path):
+                continue  # the user chose a source clip/image
+            value = snap[key]
+            if key == "sampling_rates":
+                value = tuple(value)
+            # the snapshot is written AFTER adjust_scales: restore the
+            # pre-adjust inputs so re-adjusting reproduces the training
+            # pyramid exactly
+            elif key == "scale_factor":
+                value = snap.get("scale_factor_init", value)
+            elif key == "noise_amp":
+                value = snap.get("noise_amp_init", value)
+            setattr(cfg, key, value)
+            applied.append(key)
+        if applied:
+            logging.info(f"config.json snapshot: restored {applied} "
+                         f"from {snap_path}")
     cfg.adjust_scales()
 
     ndim = 3 if cfg.video_path else 2

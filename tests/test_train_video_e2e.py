@@ -52,3 +52,29 @@ def test_baselines_trainer_e2e(tmp_path):
     for s in range(5):
         assert os.path.exists(os.path.join(exp, f"netD_{s}")), s
     assert os.path.exists(os.path.join(exp, "Z_init"))
+
+
+def test_baselines_netg_resume(tmp_path):
+    """Baselines --netG resume (VERDICT r1 item 10; reference
+    train_video_baselines.py:38-48): Z_init must be RELOADED, not
+    regenerated (the fixed-reconstruction-noise contract — a conscious fix
+    of the reference bug), and the amps list must keep its length."""
+    from hpvaegan_tpu.utils.saver import restore_file
+
+    _run("train_video_baselines", [], tmp_path / "first")
+    exp = os.path.join(tmp_path, "first", "test_video", "DEBUG",
+                       "experiment_0")
+    z_first = np.asarray(restore_file(os.path.join(exp, "Z_init"))["data"])
+
+    _run("train_video_baselines", ["--netG", os.path.join(exp, "netG")],
+         tmp_path / "second")
+    exp2 = os.path.join(tmp_path, "second", "test_video", "DEBUG",
+                        "experiment_0")
+    # Z_init identity across the resume
+    z_second = np.asarray(restore_file(os.path.join(exp2, "Z_init"))["data"])
+    np.testing.assert_array_equal(z_first, z_second)
+    # amps list length unchanged (re-appending = reference resume bug)
+    raw = restore_file(os.path.join(exp2, "netG"))
+    assert int(raw["scale"]) == 4
+    assert len(np.asarray(raw["noise_amps"])) == 5
+    assert len(raw["gvars"]["body"]) == 5  # CSG: stage 0 + 4 growths

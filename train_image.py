@@ -75,6 +75,10 @@ def main() -> None:
         dataset = SingleImageDataset(cfg)
     pyramid = dataset.pyramid
 
+    # resolved-config snapshot: generate.py / resume rebuild the module tree
+    # from this instead of hand-re-specified flags
+    saver.save_json(cfg.snapshot_dict(), "config.json")
+
     with LoggingBlock("Commandline Arguments", emph=True):
         for arg, value in sorted(vars(cfg).items()):
             if type(value) in (str, int, float, tuple, list):
@@ -116,6 +120,13 @@ def main() -> None:
         cfg.scale_idx += 1
 
     summary.close()
+    # cleanly finalize the neptune experiment (ADVICE r1: the reference
+    # relies on the legacy client's atexit flush and never stops it)
+    if neptune_exp is not None:
+        try:
+            neptune_exp.stop()
+        except Exception as e:
+            logging.warning(f"neptune experiment stop failed: {e}")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,10 @@ def main() -> None:
     dataset = SingleVideoDataset(cfg)  # probes fps/ar, caches level-0 frames
     pyramid = dataset.pyramid
 
+    # resolved-config snapshot: generate.py / resume rebuild the module tree
+    # from this instead of hand-re-specified flags
+    saver.save_json(cfg.snapshot_dict(), "config.json")
+
     with LoggingBlock("Commandline Arguments", emph=True):
         for arg, value in sorted(vars(cfg).items()):
             if type(value) in (str, int, float, tuple, list):
