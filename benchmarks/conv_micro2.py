@@ -48,6 +48,14 @@ CASES = [
     ("s2d 256->128", (2, 13, 128, 128, 256), (3, 2, 2, 256, 128)),
     # 2D s2d: frames at 128px with 256 channels, 2x2 kernel
     ("2D s2d 256->256", (26, 128, 128, 256), (2, 2, 256, 256)),
+    # W-only pack of the 64->64 conv: W-pairs folded into channels, 2-tap
+    # packed W kernel (exact transform = 1.33x FLOPs, all-128 channels)
+    ("wpack 128->128", (2, 13, 256, 128, 128), (3, 3, 2, 128, 128)),
+    # H-only pack (2-tap along H instead)
+    ("hpack 128->128", (2, 13, 128, 256, 128), (3, 2, 3, 128, 128)),
+    # W-pack at the scale-5 shape (102x102 -> W 51 packed; 51 odd is fine
+    # for the micro — efficiency of the shape class is what's probed)
+    ("wpack s5", (2, 5, 102, 51, 128), (3, 3, 2, 128, 128)),
 ]
 
 

@@ -95,6 +95,7 @@ class Config:
     bf16: bool = False             # bfloat16 conv compute, f32 params/accum
     fast_grads: bool = False       # differentiate trainable params only
     fused_forwards: bool = False   # batch rec+rand generator forwards
+    wpack: bool = False            # width-packed convs at large scales
     profile_dir: str = ""          # jax.profiler trace output dir
     scan_steps: int = 1            # iterations per dispatch (lax.scan)
     remat: bool = False            # jax.checkpoint refinement stages + critic
@@ -212,6 +213,11 @@ _COMMON_FLAGS = [
     (["--fused-forwards"], dict(action="store_true", default=False, dest="fused_forwards",
                                 help="batch the rec+rand generator forwards in the GAN step "
                                      "(BatchNorm stats over the combined batch)")),
+    (["--wpack"], dict(action="store_true", default=False,
+                       help="width-packed conv execution at the largest scales: "
+                            "fold W-pixel pairs into channels so nfc=64 convs fill "
+                            "full 128-wide MXU tiles (numerically equivalent; "
+                            "~1.3x per conv at 162px+)")),
     (["--mesh-shape"], dict(type=str, default="", dest="mesh_shape", help="device mesh, e.g. 2x4 (data x spatial)")),
     (["--spmd"], dict(action="store_true", default=False, help="shard train step over the device mesh")),
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),

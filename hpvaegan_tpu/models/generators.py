@@ -52,14 +52,30 @@ def _remat_level(cfg):
     return bool(getattr(cfg, "remat", False))
 
 
-def _apply_bn_module(mod, mvars, x, train, remat=False):
+def _apply_bn_module(mod, mvars, x, train, remat=False, cfg=None):
     """Apply a module that owns BatchNorm state; thread batch_stats.
 
     With ``remat`` the forward is wrapped in ``jax.checkpoint``: the
     backward pass recomputes the module's internal activations instead of
     keeping ~num_layer C-channel feature maps per stage live in HBM — the
     difference between fitting and OOMing the largest pyramid scales on a
-    16 GB chip (the kept residual boundaries are 3-channel)."""
+    16 GB chip (the kept residual boundaries are 3-channel).
+
+    ``cfg`` (only passed for Stage/Decoder-layout modules): when
+    cfg.wpack is on and the shape qualifies, run the width-packed
+    execution path (models/packed.py) — numerically equivalent, ~1.3x
+    faster per conv at the largest scales."""
+    if cfg is not None:
+        from .packed import stage_apply_packed, wpack_ok
+        if wpack_ok(cfg, x.shape):
+            def pfwd(mvars, x):
+                return stage_apply_packed(
+                    mvars, x, train, num_layer=mod.num_layer,
+                    dtype=mod.dtype, blocks_remat=(remat == "blocks"))
+            if remat:
+                pfwd = jax.checkpoint(pfwd)
+            return pfwd(mvars, x)
+
     kw = {"remat": True} if remat == "blocks" else {}
 
     def fwd(mvars, x):
@@ -198,7 +214,8 @@ class GeneratorHPVAEGAN(_PyramidMixin):
                 x_in = x_up
             y, new_body[idx] = _apply_bn_module(self.stage_def, body[idx],
                                                 x_in, train,
-                                                remat=_remat_level(self.cfg))
+                                                remat=_remat_level(self.cfg),
+                                                cfg=self.cfg)
             x = jnp.tanh(y + x_up)
         return x, new_body
 
@@ -243,7 +260,8 @@ class GeneratorHPVAEGAN(_PyramidMixin):
             y, new_body[idx] = _apply_bn_module(self.stage_def,
                                                 gvars["body"][idx], x_in,
                                                 train,
-                                                remat=_remat_level(self.cfg))
+                                                remat=_remat_level(self.cfg),
+                                                cfg=self.cfg)
             x = jnp.tanh(y + x_up)
         new_gvars["body"] = new_body
         return (x[:b], x[b:], vae_out[:b], (mu, logvar)), new_gvars
@@ -344,7 +362,8 @@ class GeneratorVAE_nb(_PyramidMixin):
                 x_in = x_up
             y, new_body[idx] = _apply_bn_module(self.stage_def, body[idx],
                                                 x_in, train,
-                                                remat=_remat_level(self.cfg))
+                                                remat=_remat_level(self.cfg),
+                                                cfg=self.cfg)
             x = jnp.tanh(y + x_up)
         return x, new_body
 

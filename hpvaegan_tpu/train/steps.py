@@ -41,13 +41,28 @@ __all__ = ["apply_disc", "update_g_spectral", "make_hpvaegan_steps",
 
 
 def apply_disc(D, dvars: Dict[str, Any], x: jnp.ndarray, train: bool,
-               remat: bool = False):
+               remat: bool = False, cfg=None):
     """Critic forward; threads batch_stats for the baselines critic.
 
     ``remat`` wraps the forward in ``jax.checkpoint`` so the WGAN-GP
     double-backprop recomputes the critic's internal activations instead of
-    keeping them live — required to fit the largest pyramid scales in HBM."""
+    keeping them live — required to fit the largest pyramid scales in HBM.
+
+    ``cfg`` (passed by the hpvaegan steps only): with cfg.wpack and a
+    qualifying shape, the SN critic runs the width-packed execution path
+    (models/packed.py) — numerically equivalent, full-MXU-tile convs."""
     blocks = (remat == "blocks")
+
+    if cfg is not None and "spectral" in dvars:
+        from ..models.packed import wdisc_apply_packed, wpack_ok
+        if wpack_ok(cfg, x.shape):
+            def pfwd(dvars, x):
+                return wdisc_apply_packed(dvars, x, num_layer=D.num_layer,
+                                          dtype=D.dtype,
+                                          blocks_remat=blocks), dvars
+            if remat:
+                pfwd = jax.checkpoint(pfwd)
+            return pfwd(dvars, x)
 
     def fwd(dvars, x):
         if "batch_stats" in dvars:
@@ -238,16 +253,16 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                 # one forward (identical math, half the dispatches)
                 out, dv = apply_disc(D, dv,
                                      jnp.concatenate([real, fake], axis=0),
-                                     train=True, remat=use_remat)
+                                     train=True, remat=use_remat, cfg=cfg)
                 errD_real = -jnp.mean(out[:nb])
                 errD_fake = jnp.mean(out[nb:])
             else:
-                out_real, dv = apply_disc(D, dv, real, train=True, remat=use_remat)
+                out_real, dv = apply_disc(D, dv, real, train=True, remat=use_remat, cfg=cfg)
                 errD_real = -jnp.mean(out_real)
-                out_fake, dv = apply_disc(D, dv, fake, train=True, remat=use_remat)
+                out_fake, dv = apply_disc(D, dv, fake, train=True, remat=use_remat, cfg=cfg)
                 errD_fake = jnp.mean(out_fake)
             gp = calc_gradient_penalty(
-                lambda x: apply_disc(D, dv, x, train=True, remat=use_remat)[0],
+                lambda x: apply_disc(D, dv, x, train=True, remat=use_remat, cfg=cfg)[0],
                 real, fake, lambda_grad, k_gp,
                 chunked=use_chunked and "batch_stats" not in dvars)
             return errD_real + errD_fake + gp, (errD_real, errD_fake, gp, dv)
@@ -272,7 +287,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                                               noise_init=noise_init,
                                               mode="rand", train=True)
             rec = mse(generated, real)
-            out_fake, _ = apply_disc(D, dvars, fake_g, train=True, remat=use_remat)
+            out_fake, _ = apply_disc(D, dvars, fake_g, train=True, remat=use_remat, cfg=cfg)
             errG = -jnp.mean(out_fake) * disc_w
             total = rec_weight * rec + errG
             return total, (rec, errG, gv2)
