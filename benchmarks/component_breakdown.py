@@ -64,6 +64,7 @@ cfg.remat_blocks = os.environ.get("REMAT_BLOCKS", "0") == "1"
 cfg.gp_chunked = os.environ.get("GPCHUNK", "0") == "1"
 cfg.fast_grads = os.environ.get("FAST", "0") == "1"
 cfg.bf16 = os.environ.get("BF16", "0") == "1"
+cfg.wpack = os.environ.get("WPACK", "0") == "1"
 cfg.adjust_scales()
 cfg.ar = 1.0
 cfg.scale_idx = SCALE
@@ -231,21 +232,28 @@ def chain_time(fn, n, label):
     return dt
 
 
+ALL_COMPONENTS = ["rand_fwd", "rec_fwd", "g_grads", "d_fwd",
+                  "d_grads_nogp", "gp_grads", "full_step"]
+
+
 def main():
     n = int(os.environ.get("N", "5"))
+    sel = os.environ.get("COMPONENTS", "")
+    names = [s for s in sel.split(",") if s] or ALL_COMPONENTS
+    fns = {"rand_fwd": rand_fwd, "rec_fwd": rec_fwd, "g_grads": g_grads,
+           "d_fwd": d_fwd, "d_grads_nogp": d_grads_nogp,
+           "gp_grads": gp_grads, "full_step": full_step}
     res = {}
-    res["rand_fwd"] = chain_time(rand_fwd, n, "rand_fwd")
-    res["rec_fwd"] = chain_time(rec_fwd, n, "rec_fwd")
-    res["g_grads"] = chain_time(g_grads, n, "g_grads")
-    res["d_fwd"] = chain_time(d_fwd, n, "d_fwd")
-    res["d_grads_nogp"] = chain_time(d_grads_nogp, n, "d_grads_nogp")
-    res["gp_grads"] = chain_time(gp_grads, n, "gp_grads")
-    res["full_step"] = chain_time(full_step, max(3, n // 2), "full_step")
-    comp_sum = (res["g_grads"] + res["d_grads_nogp"] + res["gp_grads"]
-                + res["rand_fwd"])
-    print(f"components (g_grads+d_nogp+gp+rand_fwd) sum "
-          f"{comp_sum * 1e3:.1f} ms vs full {res['full_step'] * 1e3:.1f} ms",
-          flush=True)
+    for name in names:
+        cn = max(3, n // 2) if name == "full_step" else n
+        res[name] = chain_time(fns[name], cn, name)
+    if all(k in res for k in
+           ("g_grads", "d_grads_nogp", "gp_grads", "rand_fwd", "full_step")):
+        comp_sum = (res["g_grads"] + res["d_grads_nogp"] + res["gp_grads"]
+                    + res["rand_fwd"])
+        print(f"components (g_grads+d_nogp+gp+rand_fwd) sum "
+              f"{comp_sum * 1e3:.1f} ms vs full "
+              f"{res['full_step'] * 1e3:.1f} ms", flush=True)
     print(json.dumps({k: round(v * 1e3, 1) for k, v in res.items()}),
           flush=True)
 
