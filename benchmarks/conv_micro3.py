@@ -44,10 +44,11 @@ def run(label, xshape, kshape, mode):
           ).astype(DT)
 
     def conv(x, w):
+        # no preferred_element_type: its f32 cotangent breaks the bf16
+        # transpose rule; bf16 out matches the model's conv dtype anyway
         y = jax.lax.conv_general_dilated(
-            x, w, (1,) * sp, pads, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
-        return jnp.sum(y * 1e-6)
+            x, w, (1,) * sp, pads, dimension_numbers=dn)
+        return jnp.sum(y.astype(jnp.float32) * 1e-6)
 
     if mode == "fwd":
         @jax.jit
