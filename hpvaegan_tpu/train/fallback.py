@@ -29,7 +29,17 @@ __all__ = ["oom_dispatch", "is_hbm_oom"]
 
 def is_hbm_oom(exc: BaseException) -> bool:
     msg = str(exc)
-    return "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+    if "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg:
+        return True
+    # Through the axon remote-compile relay an HBM OOM is reported as an
+    # opaque INTERNAL error ("remote_compile: HTTP 500: tpu_compile_helper
+    # subprocess exit code 1"); the real "Ran out of memory in hbm" detail
+    # is printed by the relay, not carried in the exception.  A compile-time
+    # HTTP 500 on a step family that compiled at smaller scales is
+    # overwhelmingly an OOM, so the ladder treats it as one — worst case a
+    # genuine compiler bug re-raises after all three rungs are enabled.
+    return ("remote_compile" in msg
+            and "tpu_compile_helper subprocess exit code 1" in msg)
 
 
 def oom_dispatch(cfg, scale_idx: int,

@@ -77,6 +77,14 @@ def test_is_hbm_oom_detection():
     assert is_hbm_oom(FakeOOM())
     assert is_hbm_oom(RuntimeError("xyz Ran out of memory in hbm"))
     assert not is_hbm_oom(RuntimeError("INVALID_ARGUMENT: relay hiccup"))
+    # the axon relay reports compile-time OOM as an opaque INTERNAL error —
+    # the "Ran out of memory" detail is printed by the relay, not carried
+    # in the exception message (CLAUDE.md environment note)
+    assert is_hbm_oom(RuntimeError(
+        "INTERNAL: remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1"))
+    assert not is_hbm_oom(RuntimeError(
+        "INTERNAL: remote_compile: HTTP 503: relay unavailable"))
 
 
 def test_kwargs_pass_through():
