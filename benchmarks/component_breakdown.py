@@ -65,6 +65,11 @@ cfg.gp_chunked = os.environ.get("GPCHUNK", "0") == "1"
 cfg.fast_grads = os.environ.get("FAST", "0") == "1"
 cfg.bf16 = os.environ.get("BF16", "0") == "1"
 cfg.wpack = os.environ.get("WPACK", "0") == "1"
+# PCONV=1: critic-only packed Pallas conv (the shipped --pconv);
+# PCONV=2: generator stages too (--pconv-all, measured slower)
+_pconv_mode = os.environ.get("PCONV", "0")
+cfg.pconv = _pconv_mode in ("1", "2")
+cfg.pconv_all = _pconv_mode == "2"
 cfg.adjust_scales()
 cfg.ar = 1.0
 cfg.scale_idx = SCALE
@@ -187,11 +192,13 @@ def d_grads_nogp(c):
 @jax.jit
 def gp_grads(c):
     fake = real * 0.5 + 0.0 * c
+    # mirror train/steps.py: the GP always runs the lax critic
+    D_gp = D.clone(pconv=False) if getattr(D, "pconv", False) else D
 
     def loss_fn(dp):
         dv = merge_dparams(dvars, dp)
         return calc_gradient_penalty(
-            lambda x: apply_disc(D, dv, x, train=True, remat=use_remat)[0],
+            lambda x: apply_disc(D_gp, dv, x, train=True, remat=use_remat)[0],
             real, fake, cfg.lambda_grad, _k(c),
             chunked=cfg.gp_chunked)
 

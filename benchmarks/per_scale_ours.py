@@ -1,7 +1,7 @@
 """Per-scale train-step throughput, ours on 1 TPU chip, default config.
 
 Usage: [NDIM=2] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1] [FAST=1] [BF16=1]
-       [FUSED=1] [SCAN=K] python benchmarks/per_scale_ours.py [scales...]
+       [FUSED=1] [PCONV=1] [SCAN=K] python benchmarks/per_scale_ours.py [scales...]
 Numbers recorded in BENCHMARKS.md "Per-scale train-step throughput".
 NDIM=2 measures the 2D image pipeline (train_image.py workload); default
 is the 3D video pipeline.
@@ -49,6 +49,7 @@ for SCALE in SCALES:
     cfg.fast_grads = _os.environ.get("FAST", "0") == "1"
     cfg.bf16 = _os.environ.get("BF16", "0") == "1"
     cfg.fused_forwards = _os.environ.get("FUSED", "0") == "1"
+    cfg.pconv = _os.environ.get("PCONV", "0") == "1"
     SCAN = int(_os.environ.get("SCAN", "1"))
     NDIM = int(_os.environ.get("NDIM", "3"))
     cfg.adjust_scales()

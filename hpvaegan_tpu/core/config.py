@@ -96,6 +96,8 @@ class Config:
     fast_grads: bool = False       # differentiate trainable params only
     fused_forwards: bool = False   # batch rec+rand generator forwards
     wpack: bool = False            # width-packed convs at large scales
+    pconv: bool = False            # packed-lane Pallas conv kernel (critic)
+    pconv_all: bool = False        # ...generator stages too (measured slower)
     profile_dir: str = ""          # jax.profiler trace output dir
     scan_steps: int = 1            # iterations per dispatch (lax.scan)
     remat: bool = False            # jax.checkpoint refinement stages + critic
@@ -167,6 +169,17 @@ class Config:
         self.scale_factor = adj.scale_factor
         if self.stop_scale_time == -1:
             self.stop_scale_time = self.stop_scale
+        if self.spmd and (self.pconv or self.pconv_all):
+            # pallas_call has no SPMD partitioning rule: under a sharded
+            # step XLA would all-gather the critic activations around the
+            # kernel, silently destroying the spatial sharding --spmd asks
+            # for.  The lax path partitions (halo exchange via XLA SPMD).
+            import logging
+            logging.getLogger("hpvaegan_tpu").warning(
+                "--pconv is incompatible with --spmd (Pallas kernels don't "
+                "partition over the mesh); disabling pconv for this run")
+            self.pconv = False
+            self.pconv_all = False
 
 
 _COMMON_FLAGS = [
@@ -218,6 +231,15 @@ _COMMON_FLAGS = [
                             "fold W-pixel pairs into channels so nfc=64 convs fill "
                             "full 128-wide MXU tiles (numerically equivalent; "
                             "~1.3x per conv at 162px+)")),
+    (["--pconv"], dict(action="store_true", default=False,
+                       help="route the critic's qualifying 3x3x3 C=64 convs "
+                            "through the packed-lane Pallas kernel (fwd + "
+                            "input-grad in VMEM; ops/pallas/conv3d_pack.py); "
+                            "the WGAN-GP term keeps XLA's double-backprop")),
+    (["--pconv-all"], dict(action="store_true", default=False, dest="pconv_all",
+                           help="also route generator-stage convs through the "
+                                "packed kernel (measured slower at scale 9 — "
+                                "expert/experiment knob)")),
     (["--mesh-shape"], dict(type=str, default="", dest="mesh_shape", help="device mesh, e.g. 2x4 (data x spatial)")),
     (["--spmd"], dict(action="store_true", default=False, help="shard train step over the device mesh")),
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),

@@ -108,6 +108,27 @@ class _PReLU(nn.Module):
 # Convolutions
 # ---------------------------------------------------------------------------
 
+class _PConv64(nn.Module):
+    """Packed-Pallas-kernel conv with nn.Conv's exact variable layout
+    (kernel/bias names, shapes, inits) so checkpoints stay interchangeable
+    with the lax path.  Only instantiated for qualifying shapes — see
+    ConvND.__call__ and ops/pallas/conv3d_pack.pconv_ok."""
+
+    kernel_init: Any
+    bias_init: Any
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas.conv3d_pack import conv3d64
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, 3, x.shape[-1], 64))
+        bias = self.param("bias", self.bias_init, (64,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return conv3d64(x, kernel, bias)
+
+
 class ConvND(nn.Module):
     """Plain N-D conv with symmetric integer padding and optional reflect
     padding (reference padding_mode='reflect', networks_3d.py:66-68)."""
@@ -120,6 +141,8 @@ class ConvND(nn.Module):
     pad_mode: str = "zeros"  # or 'reflect'
     init_mode: str = "torch"  # or 'n002'
     dtype: Any = None        # compute dtype (None = f32)
+    pconv: bool = False      # route qualifying 3D convs to the packed
+    #                          Pallas kernel (ops/pallas/conv3d_pack.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,6 +152,18 @@ class ConvND(nn.Module):
         # the reference's weights_init overwrites conv WEIGHTS only
         # (networks_3d.py:9-15); biases keep torch's default uniform init
         bias_init = torch_bias_init(fan_in)
+
+        if (self.pconv and self.ndim == 3 and self.ker_size == 3
+                and self.stride == 1 and self.padding == 1
+                and self.pad_mode == "zeros" and self.features == 64):
+            from ..ops.pallas.conv3d_pack import pconv_ok
+            if pconv_ok(x.shape, (3, 3, 3, x.shape[-1], self.features)):
+                # identical variable tree to nn.Conv (name "conv",
+                # kernel/bias of the same shapes and inits) — checkpoints
+                # are interchangeable with the lax path
+                return _PConv64(kernel_init=kernel_init,
+                                bias_init=bias_init, dtype=self.dtype,
+                                name="conv")(x)
 
         if self.pad_mode == "reflect" and self.padding > 0:
             pad_width = ([(0, 0)] + [(self.padding, self.padding)] * self.ndim
@@ -166,11 +201,13 @@ class ConvBlock(nn.Module):
     act: Optional[str] = "lrelu"
     init_mode: str = "torch"
     dtype: Any = None
+    pconv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = ConvND(self.features, self.ker_size, self.padding, self.ndim,
-                   self.stride, init_mode=self.init_mode, dtype=self.dtype)(x)
+                   self.stride, init_mode=self.init_mode, dtype=self.dtype,
+                   pconv=self.pconv)(x)
         if self.use_norm:
             scale_init = (nn.initializers.ones if self.init_mode == "torch"
                           else n102_scale_init)
@@ -219,6 +256,7 @@ class SNConv(nn.Module):
     stride: int = 1
     act: Optional[str] = "lrelu"
     dtype: Any = None
+    pconv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -244,6 +282,17 @@ class SNConv(nn.Module):
 
         sigma = spectral_sigma(kernel, u_var.value, v_var.value)
         kernel_n = kernel / sigma
+
+        if (self.pconv and self.ndim == 3 and self.ker_size == 3
+                and self.stride == 1 and self.padding == 1
+                and self.features == 64):
+            from ..ops.pallas.conv3d_pack import conv3d64, pconv_ok
+            if pconv_ok(x.shape, kernel_n.shape):
+                xq = x if self.dtype is None else x.astype(self.dtype)
+                y = conv3d64(xq, kernel_n, bias)
+                if self.act == "prelu":
+                    return _PReLU(name="prelu")(y)
+                return activation(y, self.act)
 
         dims = ("NHWC", "HWIO", "NHWC") if self.ndim == 2 else \
                ("NTHWC", "THWIO", "NTHWC")

@@ -135,7 +135,8 @@ class GeneratorHPVAEGAN(_PyramidMixin):
                                num_layer=cfg.num_layer, ndim=ndim, dtype=dtype)
         self.stage_def = Stage(nfc=cfg.nfc, nc_im=cfg.nc_im,
                                ker_size=cfg.ker_size, padd_size=cfg.padd_size,
-                               num_layer=cfg.num_layer, ndim=ndim, dtype=dtype)
+                               num_layer=cfg.num_layer, ndim=ndim, dtype=dtype,
+                               pconv=getattr(cfg, "pconv_all", False))
         # 2D/3D rand-mode noise-injection asymmetry (networks_2d.py:261 vs
         # networks_3d.py:398)
         self.noise_all_stages = (ndim == 2)
@@ -287,7 +288,8 @@ class GeneratorVAE_nb(_PyramidMixin):
                                num_layer=cfg.num_layer, ndim=ndim, dtype=dtype)
         self.stage_def = Stage(nfc=cfg.nfc, nc_im=cfg.nc_im,
                                ker_size=cfg.ker_size, padd_size=cfg.padd_size,
-                               num_layer=cfg.num_layer, ndim=ndim, dtype=dtype)
+                               num_layer=cfg.num_layer, ndim=ndim, dtype=dtype,
+                               pconv=getattr(cfg, "pconv_all", False))
         self.noise_all_stages = True  # both 2D & 3D nb variants inject always
 
     def init(self, key: jax.Array, batch_size: int = 1) -> Dict[str, Any]:

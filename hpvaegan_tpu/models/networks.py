@@ -202,6 +202,7 @@ class Stage(nn.Module):
     num_layer: int
     ndim: int = 2
     dtype: Any = None
+    pconv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -212,10 +213,11 @@ class Stage(nn.Module):
         Block = nn.remat(ConvBlock, static_argnums=(2,)) if remat else ConvBlock
         Tail = nn.remat(ConvND) if remat else ConvND
         x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                  dtype=self.dtype, name="head")(x, train)
+                  dtype=self.dtype, pconv=self.pconv, name="head")(x, train)
         for i in range(self.num_layer):
             x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                      dtype=self.dtype, name=f"block{i}")(x, train)
+                      dtype=self.dtype, pconv=self.pconv,
+                      name=f"block{i}")(x, train)
         x = Tail(self.nc_im, self.ker_size, self.ker_size // 2, self.ndim,
                  dtype=self.dtype, name="tail")(x)
         return x
@@ -231,6 +233,7 @@ class WDiscriminator(nn.Module):
     num_layer: int
     ndim: int = 2
     dtype: Any = None
+    pconv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
@@ -241,7 +244,8 @@ class WDiscriminator(nn.Module):
                 name="head")(x)
         for i in range(self.num_layer):
             x = SNC(self.nfc, self.ker_size, pad, self.ndim,
-                    dtype=self.dtype, name=f"block{i}")(x)
+                    dtype=self.dtype, pconv=self.pconv,
+                    name=f"block{i}")(x)
         x = Tail(1, self.ker_size, 1, self.ndim, dtype=self.dtype,
                  name="tail")(x)
         return x

@@ -40,7 +40,9 @@ def make_discriminator(name: str, cfg, ndim: int):
         if expected != ndim:
             raise ValueError(f"{name} is {expected}D but trainer is {ndim}D")
         return WDiscriminator(nfc=cfg.nfc, ker_size=cfg.ker_size,
-                              num_layer=cfg.num_layer, ndim=ndim, dtype=dtype)
+                              num_layer=cfg.num_layer, ndim=ndim, dtype=dtype,
+                              pconv=(getattr(cfg, "pconv", False)
+                                     or getattr(cfg, "pconv_all", False)))
     if name == "WDiscriminatorBaselines":
         return WDiscriminatorBaselines(nfc=cfg.nfc, nc_im=cfg.nc_im,
                                        ker_size=cfg.ker_size,

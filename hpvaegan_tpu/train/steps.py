@@ -261,8 +261,14 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                 errD_real = -jnp.mean(out_real)
                 out_fake, dv = apply_disc(D, dv, fake, train=True, remat=use_remat, cfg=cfg)
                 errD_fake = jnp.mean(out_fake)
+            # the GP's reverse-over-reverse is measured FASTER through
+            # XLA's native double-backprop than through the packed Pallas
+            # kernel's recursive custom_vjp (BENCHMARKS.md r2 pconv A/B:
+            # gp_grads 307 -> 471 ms), so the penalty term always runs the
+            # lax critic; variable trees are identical by construction
+            D_gp = D.clone(pconv=False) if getattr(D, "pconv", False) else D
             gp = calc_gradient_penalty(
-                lambda x: apply_disc(D, dv, x, train=True, remat=use_remat, cfg=cfg)[0],
+                lambda x: apply_disc(D_gp, dv, x, train=True, remat=use_remat, cfg=cfg)[0],
                 real, fake, lambda_grad, k_gp,
                 chunked=use_chunked and "batch_stats" not in dvars)
             return errD_real + errD_fake + gp, (errD_real, errD_fake, gp, dv)
