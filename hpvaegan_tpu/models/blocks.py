@@ -156,8 +156,9 @@ class ConvND(nn.Module):
         if (self.pconv and self.ndim == 3 and self.ker_size == 3
                 and self.stride == 1 and self.padding == 1
                 and self.pad_mode == "zeros" and self.features == 64):
-            from ..ops.pallas.conv3d_pack import pconv_ok
-            if pconv_ok(x.shape, (3, 3, 3, x.shape[-1], self.features)):
+            from ..ops.pallas.conv3d_pack import pconv_ok, pconv_wins
+            if (pconv_ok(x.shape, (3, 3, 3, x.shape[-1], self.features))
+                    and pconv_wins(x.shape)):
                 # identical variable tree to nn.Conv (name "conv",
                 # kernel/bias of the same shapes and inits) — checkpoints
                 # are interchangeable with the lax path
@@ -286,8 +287,9 @@ class SNConv(nn.Module):
         if (self.pconv and self.ndim == 3 and self.ker_size == 3
                 and self.stride == 1 and self.padding == 1
                 and self.features == 64):
-            from ..ops.pallas.conv3d_pack import conv3d64, pconv_ok
-            if pconv_ok(x.shape, kernel_n.shape):
+            from ..ops.pallas.conv3d_pack import (conv3d64, pconv_ok,
+                                                  pconv_wins)
+            if pconv_ok(x.shape, kernel_n.shape) and pconv_wins(x.shape):
                 xq = x if self.dtype is None else x.astype(self.dtype)
                 y = conv3d64(xq, kernel_n, bias)
                 if self.act == "prelu":

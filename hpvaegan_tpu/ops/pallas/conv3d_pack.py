@@ -39,13 +39,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3d64", "conv3d64_pallas", "pconv_ok", "build_w2"]
+__all__ = ["conv3d64", "conv3d64_pallas", "pconv_ok", "pconv_wins",
+           "build_w2"]
 
 _VMEM_BUDGET = 9 * 1024 * 1024
 
 # CPU tests flip this to run the kernel through the pallas interpreter
 # (tests/test_pconv.py); on TPU it stays False.
 INTERPRET = False
+
+# Tests flip this to route tiny shapes through the kernel regardless of
+# the profitability gate below.
+FORCE = False
+
+
+def pconv_wins(x_shape) -> bool:
+    """Measured-profitability gate, applied on top of ``pconv_ok`` by the
+    model routing (models/blocks.py): the packed kernel only beats XLA
+    when the W lane-group count (W/2) fills whole 128-wide MXU tiles,
+    i.e. W % 256 == 0 — the scale-9 shape class.  At W=162/204 (default
+    pyramid scales 7-8) the critic-only step measured 20-23% SLOWER
+    (BENCHMARKS.md r2 per-scale A/B), so ``--pconv`` self-gates and is
+    safe to pass for a whole multi-scale run."""
+    return FORCE or (x_shape[3] // 2) % 128 == 0
 
 
 def pconv_ok(x_shape, w_shape) -> bool:
