@@ -98,6 +98,8 @@ class Config:
     wpack: bool = False            # width-packed convs at large scales
     pconv: bool = False            # packed-lane Pallas conv kernel (critic)
     pconv_all: bool = False        # ...generator stages too (measured slower)
+    host_loader: bool = False      # host prefetch pipeline instead of the
+    #                                device-resident frame cache
     profile_dir: str = ""          # jax.profiler trace output dir
     scan_steps: int = 1            # iterations per dispatch (lax.scan)
     remat: bool = False            # jax.checkpoint refinement stages + critic
@@ -240,6 +242,13 @@ _COMMON_FLAGS = [
                            help="also route generator-stage convs through the "
                                 "packed kernel (measured slower at scale 9 — "
                                 "expert/experiment knob)")),
+    (["--host-loader"], dict(action="store_true", default=False,
+                             dest="host_loader",
+                             help="feed batches through the prefetching "
+                                  "host pipeline instead of the default "
+                                  "device-resident frame cache (the cache "
+                                  "uploads the per-scale frames once and "
+                                  "crops/flips on device)")),
     (["--mesh-shape"], dict(type=str, default="", dest="mesh_shape", help="device mesh, e.g. 2x4 (data x spatial)")),
     (["--spmd"], dict(action="store_true", default=False, help="shard train step over the device mesh")),
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),

@@ -1,0 +1,148 @@
+"""Device-resident frame cache: the TPU-native hot-loop data path.
+
+The reference feeds training through DataLoader workers that re-assemble
+and re-upload every batch (train_video.py:364-368).  Through a ~40 ms
+remote-relay round trip — and on this 1-core host — that per-batch host
+work is what actually bounds the sub-10 ms pyramid scales (measured e2e:
+55-71 it/s at scales 0-2 vs 594-336 it/s step-only, BENCHMARKS.md
+"End-to-end trainer throughput").
+
+This loader removes the host from the hot loop entirely: the per-scale
+frame store (already normalized float32, a few MB even at 256 px) is
+placed in HBM ONCE per scale, and each training chunk is one jitted
+gather — temporal strided crop, optional shared hflip, pair semantics
+(current-scale clip + zero-scale clip at sampling_rates[0], same start
+index and flip, datasets/video.py:44-66) — driven by a tiny (k, B) int32
+index array and a (k, B) flip mask, the only per-chunk upload.
+
+Sampling semantics match BatchLoader: shuffled epochs over
+(N - fps_lcm) * data_rep virtual samples, drop_last, with-replacement
+fallback for tiny datasets, Bernoulli(0.5) per-sample hflip when
+--hflip.  (The index stream is a reimplementation, not a bit-identical
+replay of BatchLoader's np.random.Generator draws — data ORDER differs
+from the host loader, data VALUES are identical.)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DeviceCacheLoader", "supports_device_cache"]
+
+
+def supports_device_cache(dataset) -> bool:
+    """Video and image datasets expose the raw per-scale frame stores the
+    cache gathers from."""
+    return hasattr(dataset, "device_cache_views")
+
+
+@functools.partial(jax.jit, static_argnames=("td", "every", "td0", "every0",
+                                             "hflip"))
+def _gather_chunk(frames, zero_frames, idxs, flips, td: int, every: int,
+                  td0: int, every0: int, hflip: bool):
+    """(k, B) indices -> ((k, B, td, H, W, C), (k, B, td0, h0, w0, C)).
+
+    One fused device program per scale: strided temporal gather + shared
+    hflip for the pair (reference __getitem__, datasets/video.py:44-66).
+    """
+    t_off = jnp.arange(td, dtype=jnp.int32) * every
+    t_off0 = jnp.arange(td0, dtype=jnp.int32) * every0
+
+    def one(idx, flip):
+        clip = jnp.take(frames, idx + t_off, axis=0)
+        zero = jnp.take(zero_frames, idx + t_off0, axis=0)
+        if hflip:
+            clip = jnp.where(flip, clip[:, :, ::-1], clip)
+            zero = jnp.where(flip, zero[:, :, ::-1], zero)
+        return clip, zero
+
+    return jax.vmap(jax.vmap(one))(idxs, flips)
+
+
+@functools.partial(jax.jit, static_argnames=("hflip",))
+def _gather_chunk_2d(images, zero_images, idxs, flips, hflip: bool):
+    """2D flavor: per-sample image pick (MultipleImageDataset) + hflip.
+    images: (N, H, W, C)."""
+    def one(idx, flip):
+        cur = jnp.take(images, idx, axis=0)
+        zero = jnp.take(zero_images, idx, axis=0)
+        if hflip:
+            cur = jnp.where(flip, cur[:, ::-1], cur)
+            zero = jnp.where(flip, zero[:, ::-1], zero)
+        return cur, zero
+
+    return jax.vmap(jax.vmap(one))(idxs, flips)
+
+
+class DeviceCacheLoader:
+    """Drop-in for BatchLoader when the whole per-scale dataset fits HBM
+    (it always does for this model family: <= a few 10s of MB).
+
+    ``next_chunk(k)`` returns a pre-stacked (k, B, ...) pair in ONE
+    dispatch — the scan-mode fast path.  ``__next__`` returns a single
+    (B, ...) batch (squeezed k=1 chunk) for the non-scan path.
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int, scale_idx: int):
+        views = dataset.device_cache_views(scale_idx)
+        (cur_store, zero_store, self._n_start, self._gather_kw) = views
+        self._cur = jax.device_put(jnp.asarray(cur_store))
+        self._zero = jax.device_put(jnp.asarray(zero_store))
+        self._is_video = "td" in self._gather_kw
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.hflip = bool(self._gather_kw.pop("hflip"))
+        self._data_rep_len = self._gather_kw.pop("virtual_len")
+        self._perm: Optional[np.ndarray] = None
+        self._pos = 0
+
+    # -- BatchLoader-compatible index stream semantics (loader.py:39-55) --
+    def _next_indices(self, k: int) -> np.ndarray:
+        n = self._data_rep_len
+        if n <= 0:
+            raise ValueError("dataset is empty")
+        need = k * self.batch_size
+        if n < self.batch_size:
+            flat = self.rng.integers(0, n, need)
+        else:
+            out = []
+            while len(out) < need:
+                if self._perm is None or self._pos + self.batch_size > \
+                        len(self._perm) - (len(self._perm) % self.batch_size):
+                    self._perm = self.rng.permutation(n)
+                    self._pos = 0
+                out.extend(self._perm[self._pos:self._pos + self.batch_size])
+                self._pos += self.batch_size
+            flat = np.asarray(out[:need])
+        return (flat % self._n_start).astype(np.int32).reshape(
+            k, self.batch_size)
+
+    def next_chunk(self, k: int) -> Tuple[jax.Array, jax.Array]:
+        idxs = jnp.asarray(self._next_indices(k))
+        if self.hflip:
+            flips = jnp.asarray(
+                self.rng.random((k, self.batch_size, 1, 1, 1, 1)
+                                if self._is_video else
+                                (k, self.batch_size, 1, 1, 1)) < 0.5)
+        else:
+            flips = jnp.zeros((k, self.batch_size) + (1,) * (4 if
+                              self._is_video else 3), bool)
+        if self._is_video:
+            return _gather_chunk(self._cur, self._zero, idxs, flips,
+                                 hflip=self.hflip, **self._gather_kw)
+        return _gather_chunk_2d(self._cur, self._zero, idxs, flips,
+                                hflip=self.hflip)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Tuple[jax.Array, jax.Array]:
+        reals, rzs = self.next_chunk(1)
+        return reals[0], rzs[0]
+
+    def close(self) -> None:  # symmetry with BatchLoader
+        pass

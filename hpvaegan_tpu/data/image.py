@@ -62,6 +62,14 @@ class _ImageDatasetBase:
             return cur, zero
         return cur, None
 
+    def device_cache_views(self, scale_idx: int):
+        """(cur_store, zero_store, n_start, gather_kwargs) for
+        data/device_cache.DeviceCacheLoader (2D flavor)."""
+        cur = self._scaled(scale_idx)
+        zero = self._scaled(0) if scale_idx > 0 else cur
+        kw = dict(hflip=bool(self.cfg.hflip), virtual_len=len(self))
+        return cur, zero, len(self.images), kw
+
     def batch(self, rng: np.random.Generator, indices: np.ndarray,
               scale_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Assemble one batch; each item gets its own hflip draw

@@ -125,6 +125,27 @@ class SingleVideoDataset:
             return clip, zero
         return clip, None
 
+    def device_cache_views(self, scale_idx: int):
+        """(cur_store, zero_store, n_start, gather_kwargs) for
+        data/device_cache.DeviceCacheLoader — the whole per-scale frame
+        store goes to HBM once; crops/flips happen on device."""
+        self.generate_frames(scale_idx)
+        cfg = self.cfg
+        every = cfg.sampling_rates[self.pyramid.fps_index(scale_idx)]
+        td = cfg.fps_lcm // every + 1
+        if scale_idx > 0:
+            zero, every0 = self.zero_scale_frames, cfg.sampling_rates[0]
+        else:
+            # scale 0 has no pair: the loader duplicates the current clip
+            # (loader.py batch() semantics) — same store, same stride
+            zero, every0 = self.frames, every
+        td0 = cfg.fps_lcm // every0 + 1
+        n_start = len(self.zero_scale_frames) - cfg.fps_lcm
+        kw = dict(td=td, every=every, td0=td0, every0=every0,
+                  hflip=bool(cfg.hflip),
+                  virtual_len=n_start * cfg.data_rep)
+        return self.frames, zero, n_start, kw
+
     def batch(self, rng: np.random.Generator, indices: np.ndarray,
               scale_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         cur_list, zero_list = [], []

@@ -49,8 +49,10 @@ _VMEM_BUDGET = 9 * 1024 * 1024
 INTERPRET = False
 
 # Tests flip this to route tiny shapes through the kernel regardless of
-# the profitability gate below.
-FORCE = False
+# the profitability gate below; PCONV_FORCE=1 does the same for
+# benchmark A/Bs at non-qualifying W (benchmarks/per_scale_ours.py).
+import os as _os
+FORCE = _os.environ.get("PCONV_FORCE", "") == "1"
 
 
 def pconv_wins(x_shape) -> bool:

@@ -28,6 +28,28 @@ from .steps import make_hpvaegan_steps
 __all__ = ["train_scale", "init_discriminator"]
 
 
+def _load_chunk(loader, k: int, first=None):
+    """(k, B, ...) pre-stacked (real, real_zero) pair for a scan chunk.
+
+    DeviceCacheLoader gathers the whole chunk in one device dispatch;
+    BatchLoader falls back to stacking k host-prefetched batches.
+    ``first`` prepends an already-fetched batch (the iteration-0
+    calibration batch)."""
+    if hasattr(loader, "next_chunk"):
+        if first is None:
+            return loader.next_chunk(k)
+        if k == 1:
+            return first[0][None], first[1][None]
+        more_r, more_z = loader.next_chunk(k - 1)
+        return (jnp.concatenate([first[0][None], more_r]),
+                jnp.concatenate([first[1][None], more_z]))
+    batches = [first] if first is not None else []
+    while len(batches) < k:
+        batches.append(next(loader))
+    return (jnp.stack([b[0] for b in batches]),
+            jnp.stack([b[1] for b in batches]))
+
+
 def init_discriminator(D, key: jax.Array, sample_shape) -> Dict[str, Any]:
     x = jnp.zeros(sample_shape)
     try:
@@ -100,10 +122,24 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
     dispatch = oom_dispatch(cfg, scale_idx, _rebuild)
 
-    loader = BatchLoader(dataset, cfg.batch_size,
-                         seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-                         scale_idx=scale_idx, device=place,
-                         prefetch=max(2, int(getattr(cfg, "scan_steps", 1))))
+    # device-resident frame cache: per-scale store uploaded once, crops/
+    # flips jitted on device — removes the host (and the relay round trip)
+    # from the hot loop.  --host-loader restores the prefetching host
+    # pipeline; --spmd keeps it too (the loader's `place` callable shards
+    # each batch at the jit boundary).
+    from ..data import DeviceCacheLoader, supports_device_cache
+    if (not getattr(cfg, "host_loader", False) and place is None
+            and supports_device_cache(dataset)):
+        loader = DeviceCacheLoader(
+            dataset, cfg.batch_size,
+            seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
+            scale_idx=scale_idx)
+    else:
+        loader = BatchLoader(dataset, cfg.batch_size,
+                             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
+                             scale_idx=scale_idx, device=place,
+                             prefetch=max(2, int(getattr(cfg,
+                                                         "scan_steps", 1))))
 
     bar = create_progressbar(
         total=cfg.niter,
@@ -165,7 +201,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                                  / cfg.batch_size)
                     cfg.Noise_Amps[-1] = noise_amp
 
-            amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)
+            if iteration == 0:  # amps are fixed after calibration: build
+                amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)  # once
 
             # ---- chunk size: scan k iterations per dispatch, stopping at
             # print-interval boundaries so visualization cadence holds ----
@@ -189,21 +226,22 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                         "vae_step", gvars, opt_g, real, real_zero, amps,
                         k_step)
             else:
-                batches = ([(real, real_zero)] if iteration == 0 else [])
-                while len(batches) < k:
-                    batches.append(next(loader))
-                reals = jnp.stack([b[0] for b in batches])
-                rzs = jnp.stack([b[1] for b in batches])
-                step_keys = jnp.stack([
-                    jax.random.split(jax.random.fold_in(key, iteration + j),
-                                     3)[1] for j in range(k)])
+                first = (real, real_zero) if iteration == 0 else None
+                reals, rzs = _load_chunk(loader, k, first)
+                # per-iteration keys/noise built in ONE vmapped dispatch
+                # each (numerically identical to the k-loop of
+                # fold_in/split/normal it replaces): the 1-core host can't
+                # afford ~3k small dispatches per chunk, which measurably
+                # throttled e2e throughput at the sub-10ms scales
+                its = jnp.arange(iteration, iteration + k)
+                chunk_keys = jax.vmap(
+                    lambda j: jax.random.split(jax.random.fold_in(key, j), 3)
+                )(its)
+                step_keys = chunk_keys[:, 1]
                 if gan_phase:
-                    noise_keys = [jax.random.split(
-                        jax.random.fold_in(key, iteration + j), 3)[0]
-                        for j in range(k)]
-                    noise_inits = jnp.stack([
-                        jax.random.normal(nk, tuple(cfg.Z_init_size))
-                        for nk in noise_keys])
+                    noise_inits = jax.vmap(
+                        lambda nk: jax.random.normal(
+                            nk, tuple(cfg.Z_init_size)))(chunk_keys[:, 0])
                     gvars, dvars, opt_g, opt_d, metrics_hist = dispatch(
                         "gan_scan_step", gvars, dvars, opt_g, opt_d,
                         reals, rzs, noise_inits, amps, step_keys)
@@ -215,7 +253,7 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 # last iteration's scalars as the current view
                 metrics = jax.tree_util.tree_map(lambda a: a[-1],
                                                  metrics_hist)
-                real, real_zero = batches[-1]
+                real, real_zero = reals[-1], rzs[-1]
                 noise_init = jax.random.normal(k_noise,
                                                tuple(cfg.Z_init_size))
 
@@ -237,8 +275,13 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 if k == 1:
                     get = lambda name, j: metrics[name]  # noqa: E731
                 else:
-                    host_hist = {name: np.asarray(v)
-                                 for name, v in metrics_hist.items()}
+                    # ONE device fetch for the whole chunk's metric stack
+                    # (per-leaf np.asarray = one ~40 ms relay round trip
+                    # EACH; stacking on device first makes it a single RTT)
+                    names = sorted(metrics_hist)
+                    block = np.asarray(
+                        jnp.stack([metrics_hist[n] for n in names]))
+                    host_hist = dict(zip(names, block))
                     get = lambda name, j: host_hist[name][j]  # noqa: E731
                 for j in range(k):
                     it_j = iteration + j

@@ -83,9 +83,17 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                             lambda: make_baseline_steps(G, D, cfg, tx_g, tx_d,
                                                         mesh=mesh))
 
-    loader = BatchLoader(dataset, cfg.batch_size,
-                         seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-                         scale_idx=scale_idx, device=place)
+    from ..data import DeviceCacheLoader, supports_device_cache
+    if (not getattr(cfg, "host_loader", False) and place is None
+            and supports_device_cache(dataset)):
+        loader = DeviceCacheLoader(
+            dataset, cfg.batch_size,
+            seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
+            scale_idx=scale_idx)
+    else:
+        loader = BatchLoader(dataset, cfg.batch_size,
+                             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
+                             scale_idx=scale_idx, device=place)
     bar = create_progressbar(
         iterable=range(cfg.niter),
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")

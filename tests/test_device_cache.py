@@ -1,0 +1,106 @@
+"""Device-resident frame cache (data/device_cache.py): the gathered
+batches must be value-identical to the host loader's slice/flip path
+(datasets/video.py:44-66 / datasets/image.py:40-63 semantics)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpvaegan_tpu.core.config import Config
+from hpvaegan_tpu.data import (DeviceCacheLoader, SingleImageDataset,
+                               SingleVideoDataset, supports_device_cache)
+from hpvaegan_tpu.data.device_cache import _gather_chunk
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+
+def _video_ds():
+    cfg = Config(video_path=os.path.join(ASSETS, "test_video.avi"),
+                 img_size=16, min_size=8, max_size=16)
+    cfg.adjust_scales()
+    return cfg, SingleVideoDataset(cfg)
+
+
+def _image_ds():
+    cfg = Config(image_path=os.path.join(ASSETS, "test_image.png"),
+                 img_size=16, min_size=8, max_size=16)
+    cfg.adjust_scales()
+    return cfg, SingleImageDataset(cfg)
+
+
+@pytest.mark.parametrize("scale_idx", [0, 2])
+@pytest.mark.parametrize("hflip", [False, True])
+def test_video_gather_matches_host_get(scale_idx, hflip):
+    cfg, ds = _video_ds()
+    cfg.hflip = True  # the kernel's flip path must be built either way
+    assert supports_device_cache(ds)
+    cur, zero, n_start, kw = ds.device_cache_views(scale_idx)
+    kw = dict(kw)
+    kw.pop("virtual_len")
+    for idx in (0, 3, n_start - 1):
+        idxs = jnp.asarray([[idx]], jnp.int32)
+        flips = jnp.full((1, 1, 1, 1, 1, 1), hflip)
+        reals, rzs = _gather_chunk(jnp.asarray(cur), jnp.asarray(zero),
+                                   idxs, flips, **kw)
+        # host reference path
+        cfg.scale_idx = scale_idx
+        cfg.fps_index = ds.pyramid.fps_index(scale_idx)
+        clip, zpair = ds.get(idx, hflip=hflip, scale_idx=scale_idx)
+        np.testing.assert_allclose(np.asarray(reals[0, 0]), clip, atol=0)
+        expect_zero = clip if zpair is None else zpair
+        np.testing.assert_allclose(np.asarray(rzs[0, 0]), expect_zero,
+                                   atol=0)
+
+
+def test_video_loader_chunk_shapes_and_pairing():
+    cfg, ds = _video_ds()
+    scale_idx = 2
+    loader = DeviceCacheLoader(ds, batch_size=2, seed=7, scale_idx=scale_idx)
+    reals, rzs = loader.next_chunk(3)
+    td = ds.pyramid.td(scale_idx)
+    h, w = ds.pyramid.shape2d(scale_idx)
+    h0, w0 = ds.pyramid.shape2d(0)
+    assert reals.shape == (3, 2, td, h, w, 3)
+    assert rzs.shape == (3, 2, cfg.fps_lcm // cfg.sampling_rates[0] + 1,
+                         h0, w0, 3)
+    # pair shares the start index: frame 0 of the zero clip == the raw
+    # zero-scale frame at the same index the current clip started at
+    single = next(loader)
+    assert single[0].shape == (2, td, h, w, 3)
+
+
+def test_image_gather_matches_host_get():
+    cfg, ds = _image_ds()
+    for scale_idx in (0, 2):
+        loader = DeviceCacheLoader(ds, batch_size=2, seed=3,
+                                   scale_idx=scale_idx)
+        reals, rzs = loader.next_chunk(2)
+        h, w = ds.pyramid.shape2d(scale_idx)
+        assert reals.shape == (2, 2, h, w, 3)
+        cur, zpair = ds.get(0, scale_idx, hflip=False)
+        np.testing.assert_allclose(np.asarray(reals[0, 0]), cur, atol=0)
+        expect_zero = cur if zpair is None else zpair
+        np.testing.assert_allclose(np.asarray(rzs[0, 0]), expect_zero,
+                                   atol=0)
+
+
+def test_hflip_draws_vary_per_sample():
+    """With --hflip, the per-sample Bernoulli(0.5) draws must produce BOTH
+    orientations across a 16-sample chunk (shared-flip pair semantics are
+    covered by test_video_gather_matches_host_get)."""
+    cfg, ds = _video_ds()
+    cfg.hflip = True
+    loader = DeviceCacheLoader(ds, batch_size=2, seed=11, scale_idx=1)
+    reals, _ = loader.next_chunk(8)
+    arr = np.asarray(reals)
+    base = np.asarray(ds.frames)  # scale-1 store, unflipped
+    unflipped = flipped = 0
+    for frame0 in arr[:, :, 0].reshape(-1, *arr.shape[3:]):
+        if any(np.array_equal(frame0, f) for f in base):
+            unflipped += 1
+        elif any(np.array_equal(frame0, f[:, ::-1]) for f in base):
+            flipped += 1
+        else:  # must match one of the two orientations exactly
+            raise AssertionError("gathered frame matches no source frame")
+    assert unflipped >= 1 and flipped >= 1
