@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DeviceCacheLoader", "supports_device_cache"]
+__all__ = ["DeviceCacheLoader", "supports_device_cache",
+           "make_sample_gather"]
 
 
 def supports_device_cache(dataset) -> bool:
@@ -40,42 +41,57 @@ def supports_device_cache(dataset) -> bool:
     return hasattr(dataset, "device_cache_views")
 
 
+def make_sample_gather(gather_kw: dict, hflip: bool):
+    """Pure per-sample gather ``one(frames, zero_frames, idx, flip)`` —
+    strided temporal crop + shared hflip for the pair (reference
+    __getitem__, datasets/video.py:44-66); 2D flavor when the kwargs
+    carry no temporal stride.  Composable: the chunk loader vmaps it, and
+    the fused scan steps (train/steps.py) embed it INSIDE the training
+    dispatch so a whole chunk is one device program."""
+    if "td" in gather_kw:
+        td, every = gather_kw["td"], gather_kw["every"]
+        td0, every0 = gather_kw["td0"], gather_kw["every0"]
+        t_off = jnp.arange(td, dtype=jnp.int32) * every
+        t_off0 = jnp.arange(td0, dtype=jnp.int32) * every0
+
+        def one(frames, zero_frames, idx, flip):
+            clip = jnp.take(frames, idx + t_off, axis=0)
+            zero = jnp.take(zero_frames, idx + t_off0, axis=0)
+            if hflip:
+                clip = jnp.where(flip, clip[:, :, ::-1], clip)
+                zero = jnp.where(flip, zero[:, :, ::-1], zero)
+            return clip, zero
+    else:
+        def one(images, zero_images, idx, flip):
+            cur = jnp.take(images, idx, axis=0)
+            zero = jnp.take(zero_images, idx, axis=0)
+            if hflip:
+                cur = jnp.where(flip, cur[:, ::-1], cur)
+                zero = jnp.where(flip, zero[:, ::-1], zero)
+            return cur, zero
+
+    return one
+
+
 @functools.partial(jax.jit, static_argnames=("td", "every", "td0", "every0",
                                              "hflip"))
 def _gather_chunk(frames, zero_frames, idxs, flips, td: int, every: int,
                   td0: int, every0: int, hflip: bool):
-    """(k, B) indices -> ((k, B, td, H, W, C), (k, B, td0, h0, w0, C)).
-
-    One fused device program per scale: strided temporal gather + shared
-    hflip for the pair (reference __getitem__, datasets/video.py:44-66).
-    """
-    t_off = jnp.arange(td, dtype=jnp.int32) * every
-    t_off0 = jnp.arange(td0, dtype=jnp.int32) * every0
-
-    def one(idx, flip):
-        clip = jnp.take(frames, idx + t_off, axis=0)
-        zero = jnp.take(zero_frames, idx + t_off0, axis=0)
-        if hflip:
-            clip = jnp.where(flip, clip[:, :, ::-1], clip)
-            zero = jnp.where(flip, zero[:, :, ::-1], zero)
-        return clip, zero
-
-    return jax.vmap(jax.vmap(one))(idxs, flips)
+    """(k, B) indices -> ((k, B, td, H, W, C), (k, B, td0, h0, w0, C))."""
+    one = make_sample_gather(dict(td=td, every=every, td0=td0,
+                                  every0=every0), hflip)
+    return jax.vmap(jax.vmap(one, in_axes=(None, None, 0, 0)),
+                    in_axes=(None, None, 0, 0))(frames, zero_frames, idxs,
+                                                flips)
 
 
 @functools.partial(jax.jit, static_argnames=("hflip",))
 def _gather_chunk_2d(images, zero_images, idxs, flips, hflip: bool):
-    """2D flavor: per-sample image pick (MultipleImageDataset) + hflip.
-    images: (N, H, W, C)."""
-    def one(idx, flip):
-        cur = jnp.take(images, idx, axis=0)
-        zero = jnp.take(zero_images, idx, axis=0)
-        if hflip:
-            cur = jnp.where(flip, cur[:, ::-1], cur)
-            zero = jnp.where(flip, zero[:, ::-1], zero)
-        return cur, zero
-
-    return jax.vmap(jax.vmap(one))(idxs, flips)
+    """2D flavor: per-sample image pick (MultipleImageDataset) + hflip."""
+    one = make_sample_gather({}, hflip)
+    return jax.vmap(jax.vmap(one, in_axes=(None, None, 0, 0)),
+                    in_axes=(None, None, 0, 0))(images, zero_images, idxs,
+                                                flips)
 
 
 class DeviceCacheLoader:
@@ -121,16 +137,30 @@ class DeviceCacheLoader:
         return (flat % self._n_start).astype(np.int32).reshape(
             k, self.batch_size)
 
-    def next_chunk(self, k: int) -> Tuple[jax.Array, jax.Array]:
-        idxs = jnp.asarray(self._next_indices(k))
+    # -- fused-path accessors (train/steps.py scan-cache steps) --
+    @property
+    def stores(self) -> Tuple[jax.Array, jax.Array]:
+        """The HBM-resident (current-scale, zero-scale) frame stores."""
+        return self._cur, self._zero
+
+    def sample_gather(self):
+        """Per-sample pure gather for embedding inside a jitted step."""
+        return make_sample_gather(self._gather_kw, self.hflip)
+
+    def draw(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side randomness only: ((k, B) int32 start indices,
+        (k, B, 1...) bool flips) for one chunk."""
+        idxs = self._next_indices(k)
+        trail = (1,) * (4 if self._is_video else 3)
         if self.hflip:
-            flips = jnp.asarray(
-                self.rng.random((k, self.batch_size, 1, 1, 1, 1)
-                                if self._is_video else
-                                (k, self.batch_size, 1, 1, 1)) < 0.5)
+            flips = self.rng.random((k, self.batch_size) + trail) < 0.5
         else:
-            flips = jnp.zeros((k, self.batch_size) + (1,) * (4 if
-                              self._is_video else 3), bool)
+            flips = np.zeros((k, self.batch_size) + trail, bool)
+        return idxs, flips
+
+    def next_chunk(self, k: int) -> Tuple[jax.Array, jax.Array]:
+        idxs_h, flips_h = self.draw(k)
+        idxs, flips = jnp.asarray(idxs_h), jnp.asarray(flips_h)
         if self._is_video:
             return _gather_chunk(self._cur, self._zero, idxs, flips,
                                  hflip=self.hflip, **self._gather_kw)

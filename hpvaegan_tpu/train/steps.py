@@ -103,7 +103,7 @@ def update_d_spectral(dvars: Dict[str, Any]) -> Dict[str, Any]:
 
 def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                         tx_d: Optional[optax.GradientTransformation],
-                        group_plan=None, mesh=None):
+                        group_plan=None, mesh=None, gather=None):
     """Build the jitted (calibrate, vae_step, gan_step, sample) functions for
     one scale.  G is a generator orchestrator, D a critic module (or None in
     the VAE phase).
@@ -328,6 +328,59 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         # full per-iteration metric stack (K,) — see vae_scan_step
         return gvars, dvars, opt_g, opt_d, ms
 
+    # ---- fused data path: gather + RNG INSIDE the scanned dispatch ----
+    # With the device-resident frame cache (data/device_cache.py), a whole
+    # K-iteration chunk becomes ONE device program: the frame stores ride
+    # as scan constants, each iteration gathers its own batch and derives
+    # its own keys/noise (bit-identical to the trainer's unfused
+    # fold_in/split stream), and no (K, B, ...) staged-batch buffers are
+    # ever materialized.  This removes the last per-chunk host dispatches
+    # that bounded the sub-10 ms pyramid scales (BENCHMARKS.md "End-to-end
+    # trainer throughput").
+    cache_steps = {}
+    if gather is not None:
+        gather_b = jax.vmap(gather, in_axes=(None, None, 0, 0))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def vae_scan_cache_step(gvars, opt_g, cur, zero, idxs, flips, amps,
+                                key, it0):
+            def body(carry, xs):
+                gv, og = carry
+                idx, flip, i = xs
+                real, rz = gather_b(cur, zero, idx, flip)
+                k = jax.random.split(jax.random.fold_in(key, i), 3)[1]
+                gv, og, m = _vae_body(gv, og, real, rz, amps, k)
+                return (gv, og), m
+
+            its = it0 + jnp.arange(idxs.shape[0], dtype=jnp.int32)
+            (gvars, opt_g), ms = jax.lax.scan(body, (gvars, opt_g),
+                                              (idxs, flips, its))
+            return gvars, opt_g, ms
+
+        cache_steps["vae_scan_cache_step"] = vae_scan_cache_step
+
+        z_init_size = tuple(getattr(cfg, "Z_init_size", ()) or ())
+        if D is not None and z_init_size:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def gan_scan_cache_step(gvars, dvars, opt_g, opt_d, cur, zero,
+                                    idxs, flips, amps, key, it0):
+                def body(carry, xs):
+                    gv, dv, og, od = carry
+                    idx, flip, i = xs
+                    real, rz = gather_b(cur, zero, idx, flip)
+                    ks = jax.random.split(jax.random.fold_in(key, i), 3)
+                    noise = jax.random.normal(ks[0], z_init_size)
+                    gv, dv, og, od, m = _gan_body(gv, dv, og, od, real, rz,
+                                                  noise, amps, ks[1])
+                    return (gv, dv, og, od), m
+
+                its = it0 + jnp.arange(idxs.shape[0], dtype=jnp.int32)
+                (gvars, dvars, opt_g, opt_d), ms = jax.lax.scan(
+                    body, (gvars, dvars, opt_g, opt_d), (idxs, flips, its))
+                return gvars, dvars, opt_g, opt_d, ms
+
+            cache_steps["gan_scan_cache_step"] = gan_scan_cache_step
+
     @functools.partial(jax.jit, static_argnames=("train",))
     def sample(gvars, noise_init, amps, key, train=True):
         """rand-mode generation (visualization path, train_video.py:226-241
@@ -347,7 +400,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
 
     return dict(calibrate=calibrate, vae_step=vae_step, gan_step=gan_step,
                 vae_scan_step=vae_scan_step, gan_scan_step=gan_scan_step,
-                sample=sample, reconstruct=reconstruct)
+                sample=sample, reconstruct=reconstruct, **cache_steps)
 
 
 # ---------------------------------------------------------------------------

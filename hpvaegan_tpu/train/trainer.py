@@ -115,13 +115,6 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
             opt_d = shard_gvars(opt_d, mesh)
         place = lambda a: shard_batch(a, mesh, ndim)  # noqa: E731
 
-    def _rebuild():
-        return make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
-                                   group_plan=(module_labels, body_labels),
-                                   mesh=mesh)
-
-    dispatch = oom_dispatch(cfg, scale_idx, _rebuild)
-
     # device-resident frame cache: per-scale store uploaded once, crops/
     # flips jitted on device — removes the host (and the relay round trip)
     # from the hot loop.  --host-loader restores the prefetching host
@@ -134,12 +127,21 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
             dataset, cfg.batch_size,
             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
             scale_idx=scale_idx)
+        gather = loader.sample_gather()
     else:
         loader = BatchLoader(dataset, cfg.batch_size,
                              seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
                              scale_idx=scale_idx, device=place,
                              prefetch=max(2, int(getattr(cfg,
                                                          "scan_steps", 1))))
+        gather = None
+
+    def _rebuild():
+        return make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
+                                   group_plan=(module_labels, body_labels),
+                                   mesh=mesh, gather=gather)
+
+    dispatch = oom_dispatch(cfg, scale_idx, _rebuild)
 
     bar = create_progressbar(
         total=cfg.niter,
@@ -225,6 +227,32 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                     gvars, opt_g, metrics = dispatch(
                         "vae_step", gvars, opt_g, real, real_zero, amps,
                         k_step)
+            elif gather is not None:
+                # fused data path: the whole chunk — gather + per-iteration
+                # keys/noise + K train steps — is ONE device dispatch
+                # (steps.py *_scan_cache_step); the host only draws (k, B)
+                # start indices + flip bits.  Keys derive from the same
+                # fold_in/split stream as the unfused paths.
+                idxs_h, flips_h = loader.draw(k)
+                idxs, flips = jnp.asarray(idxs_h), jnp.asarray(flips_h)
+                if gan_phase:
+                    gvars, dvars, opt_g, opt_d, metrics_hist = dispatch(
+                        "gan_scan_cache_step", gvars, dvars, opt_g, opt_d,
+                        *loader.stores, idxs, flips, amps, key, iteration)
+                else:
+                    gvars, opt_g, metrics_hist = dispatch(
+                        "vae_scan_cache_step", gvars, opt_g, *loader.stores,
+                        idxs, flips, amps, key, iteration)
+                metrics = jax.tree_util.tree_map(lambda a: a[-1],
+                                                 metrics_hist)
+                if cfg.visualize and cfg.print_interval > 0 \
+                        and iteration % cfg.print_interval == 0:
+                    # the visualization below wants this chunk's last batch
+                    # + a fresh noise draw — dispatched only on TB chunks
+                    gb = jax.vmap(gather, in_axes=(None, None, 0, 0))
+                    real, real_zero = gb(*loader.stores, idxs[-1], flips[-1])
+                    noise_init = jax.random.normal(k_noise,
+                                                   tuple(cfg.Z_init_size))
             else:
                 first = (real, real_zero) if iteration == 0 else None
                 reals, rzs = _load_chunk(loader, k, first)

@@ -3,6 +3,7 @@ batches must be value-identical to the host loader's slice/flip path
 (datasets/video.py:44-66 / datasets/image.py:40-63 semantics)."""
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -83,6 +84,85 @@ def test_image_gather_matches_host_get():
         expect_zero = cur if zpair is None else zpair
         np.testing.assert_allclose(np.asarray(rzs[0, 0]), expect_zero,
                                    atol=0)
+
+
+def test_fused_scan_cache_step_matches_unfused():
+    """steps.py gan_scan_cache_step (gather + RNG inside the scanned
+    dispatch) must replicate the unfused gan_scan_step fed the same
+    gathered batches and the trainer's fold_in/split key stream."""
+    from hpvaegan_tpu.core.pyramid import Pyramid
+    from hpvaegan_tpu.models.registry import make_discriminator, \
+        make_generator
+    from hpvaegan_tpu.train.optim import (build_d_optimizer,
+                                          build_g_optimizer, dparams_view,
+                                          gparams_view, hpvaegan_group_plan)
+    from hpvaegan_tpu.train.steps import make_hpvaegan_steps
+    from hpvaegan_tpu.train.trainer import init_discriminator
+
+    cfg, ds = _video_ds()
+    cfg.nfc, cfg.latent_dim, cfg.num_layer, cfg.enc_blocks = 8, 8, 2, 1
+    cfg.vae_levels, cfg.batch_size = 1, 2
+    scale = 2
+    cfg.scale_idx = scale
+    pyr = ds.pyramid
+    h0, w0 = pyr.shape2d(0)
+    cfg.td = pyr.td(0)
+    cfg.Z_init_size = [2, cfg.td, h0, w0, cfg.latent_dim]
+
+    key = jax.random.PRNGKey(4)
+    G = make_generator("GeneratorHPVAEGAN", cfg, pyr, 3)
+    gvars = G.init(key, 1)
+    for i in range(scale):
+        gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
+    D = make_discriminator("WDiscriminator3D", cfg, 3)
+    dvars = init_discriminator(D, jax.random.fold_in(key, 1),
+                               (2, *pyr.shape3d(scale), 3))
+    ml, bl, lrs = hpvaegan_group_plan(cfg, scale, len(gvars["body"]))
+    tx_g, opt_g = build_g_optimizer(cfg, gparams_view(gvars), ml, bl, lrs,
+                                    cfg.grad_clip)
+    tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+    amps = jnp.full(scale + 1, 0.1, jnp.float32)
+
+    loader = DeviceCacheLoader(ds, batch_size=2, seed=5, scale_idx=scale)
+    gather = loader.sample_gather()
+    steps_f = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
+                                  group_plan=(ml, bl), gather=gather)
+    steps_u = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
+                                  group_plan=(ml, bl))
+    assert "gan_scan_cache_step" in steps_f
+
+    k, it0 = 3, 5
+    idxs_h, flips_h = loader.draw(k)
+    idxs, flips = jnp.asarray(idxs_h), jnp.asarray(flips_h)
+    skey = jax.random.fold_in(key, 77)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    out_f = steps_f["gan_scan_cache_step"](
+        copy(gvars), copy(dvars), copy(opt_g), copy(opt_d), *loader.stores,
+        idxs, flips, amps, skey, it0)
+
+    # unfused replica: same batches, trainer-style key/noise construction
+    gb = jax.vmap(jax.vmap(gather, in_axes=(None, None, 0, 0)),
+                  in_axes=(None, None, 0, 0))
+    reals, rzs = gb(*loader.stores, idxs, flips)
+    its = jnp.arange(it0, it0 + k)
+    ck = jax.vmap(lambda j: jax.random.split(jax.random.fold_in(skey, j),
+                                             3))(its)
+    noise_inits = jax.vmap(lambda nk: jax.random.normal(
+        nk, tuple(cfg.Z_init_size)))(ck[:, 0])
+    out_u = steps_u["gan_scan_step"](
+        copy(gvars), copy(dvars), copy(opt_g), copy(opt_d), reals, rzs,
+        noise_inits, amps, ck[:, 1])
+
+    # per-iteration metric stacks must agree (later iterations compound
+    # param updates, so allow loose float-reassociation tolerance there)
+    for name in out_f[-1]:
+        a = np.asarray(out_f[-1][name])
+        b = np.asarray(out_u[-1][name])
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{name}[0]")
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-3,
+                                   err_msg=name)
 
 
 def test_hflip_draws_vary_per_sample():
