@@ -81,6 +81,21 @@ def test_scan_steps_e2e(tmp_path):
     assert os.path.exists(os.path.join(exp, "netG"))
 
 
+def test_host_loader_e2e(tmp_path):
+    """--host-loader: the prefetching host pipeline (BatchLoader) + the
+    unfused scan path — no longer the default since the device-resident
+    cache landed, so it needs its own CI drive."""
+    import json as _json
+    _run_train_image(["--host-loader", "--scan-steps", "3", "--niter", "6"],
+                     tmp_path / "hostrun")
+    exp = os.path.join(tmp_path, "hostrun", "test_image", "DEBUG",
+                       "experiment_0")
+    with open(os.path.join(exp, "Noise_Amps.json")) as f:
+        amps = _json.load(f)["noise_amps"]
+    assert len(amps) == 5 and all(np.isfinite(a) for a in amps)
+    assert os.path.exists(os.path.join(exp, "netG"))
+
+
 def test_scan_metrics_density_independent_of_k(tmp_path, monkeypatch):
     """TB scalar count per scale must be independent of --scan-steps: scan
     steps return the FULL (K,) metric stack and the trainer logs each
