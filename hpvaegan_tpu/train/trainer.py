@@ -29,20 +29,10 @@ __all__ = ["train_scale", "init_discriminator"]
 
 
 def _load_chunk(loader, k: int, first=None):
-    """(k, B, ...) pre-stacked (real, real_zero) pair for a scan chunk.
-
-    DeviceCacheLoader gathers the whole chunk in one device dispatch;
-    BatchLoader falls back to stacking k host-prefetched batches.
-    ``first`` prepends an already-fetched batch (the iteration-0
-    calibration batch)."""
-    if hasattr(loader, "next_chunk"):
-        if first is None:
-            return loader.next_chunk(k)
-        if k == 1:
-            return first[0][None], first[1][None]
-        more_r, more_z = loader.next_chunk(k - 1)
-        return (jnp.concatenate([first[0][None], more_r]),
-                jnp.concatenate([first[1][None], more_z]))
+    """(k, B, ...) pre-stacked (real, real_zero) pair for a scan chunk by
+    stacking k host-prefetched batches (BatchLoader path only — cache
+    loaders take the fused in-step gather instead).  ``first`` prepends an
+    already-fetched batch (the iteration-0 calibration batch)."""
     batches = [first] if first is not None else []
     while len(batches) < k:
         batches.append(next(loader))
