@@ -158,14 +158,19 @@ class DeviceCacheLoader:
             flips = np.zeros((k, self.batch_size) + trail, bool)
         return idxs, flips
 
-    def next_chunk(self, k: int) -> Tuple[jax.Array, jax.Array]:
-        idxs_h, flips_h = self.draw(k)
-        idxs, flips = jnp.asarray(idxs_h), jnp.asarray(flips_h)
+    def gather_rows(self, idxs, flips) -> Tuple[jax.Array, jax.Array]:
+        """One jitted gather of explicit (k, B) index/flip rows — used by
+        next_chunk and by the trainer's TB-refresh of a chunk's last
+        batch (the same compiled program either way)."""
+        idxs, flips = jnp.asarray(idxs), jnp.asarray(flips)
         if self._is_video:
             return _gather_chunk(self._cur, self._zero, idxs, flips,
                                  hflip=self.hflip, **self._gather_kw)
         return _gather_chunk_2d(self._cur, self._zero, idxs, flips,
                                 hflip=self.hflip)
+
+    def next_chunk(self, k: int) -> Tuple[jax.Array, jax.Array]:
+        return self.gather_rows(*self.draw(k))
 
     def __iter__(self):
         return self

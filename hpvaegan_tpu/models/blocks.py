@@ -157,7 +157,8 @@ class ConvND(nn.Module):
                 and self.stride == 1 and self.padding == 1
                 and self.pad_mode == "zeros" and self.features == 64):
             from ..ops.pallas.conv3d_pack import pconv_ok, pconv_wins
-            if (pconv_ok(x.shape, (3, 3, 3, x.shape[-1], self.features))
+            if (pconv_ok(x.shape, (3, 3, 3, x.shape[-1], self.features),
+                         dtype=self.dtype)
                     and pconv_wins(x.shape)):
                 # identical variable tree to nn.Conv (name "conv",
                 # kernel/bias of the same shapes and inits) — checkpoints
@@ -186,11 +187,18 @@ class ConvND(nn.Module):
         )(x)
 
 
+# torch BatchNorm defaults (momentum 0.1 torch == 0.9 flax, eps 1e-5) —
+# the single source of truth: the width-packed execution path
+# (models/packed.py) re-implements the norm and MUST use the same values.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
 class ConvBlock(nn.Module):
     """Conv -> BatchNorm (optional) -> activation (optional).
 
     Mirrors ConvBlock2D/3D (networks_3d.py:48-56): BatchNorm with torch
-    defaults (momentum 0.1 torch == 0.9 flax, eps 1e-5).
+    defaults (BN_MOMENTUM/BN_EPS above).
     """
 
     features: int
@@ -212,8 +220,9 @@ class ConvBlock(nn.Module):
         if self.use_norm:
             scale_init = (nn.initializers.ones if self.init_mode == "torch"
                           else n102_scale_init)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, scale_init=scale_init,
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             scale_init=scale_init,
                              dtype=jnp.float32, name="norm")(x)
         if self.act == "prelu":
             x = _PReLU(name="prelu")(x)
@@ -289,7 +298,8 @@ class SNConv(nn.Module):
                 and self.features == 64):
             from ..ops.pallas.conv3d_pack import (conv3d64, pconv_ok,
                                                   pconv_wins)
-            if pconv_ok(x.shape, kernel_n.shape) and pconv_wins(x.shape):
+            if pconv_ok(x.shape, kernel_n.shape, dtype=self.dtype) \
+                    and pconv_wins(x.shape):
                 xq = x if self.dtype is None else x.astype(self.dtype)
                 y = conv3d64(xq, kernel_n, bias)
                 if self.act == "prelu":

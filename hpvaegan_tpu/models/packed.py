@@ -29,8 +29,8 @@ __all__ = ["WPACK_MIN_W", "wpack_ok", "stage_apply_packed",
 
 WPACK_MIN_W = 128
 
-_BN_MOMENTUM = 0.9  # torch 0.1 (ConvBlock parity, models/blocks.py)
-_BN_EPS = 1e-5
+# shared with ConvBlock's nn.BatchNorm (single source of truth)
+from .blocks import BN_EPS as _BN_EPS, BN_MOMENTUM as _BN_MOMENTUM
 
 
 def wpack_ok(cfg, shape) -> bool:

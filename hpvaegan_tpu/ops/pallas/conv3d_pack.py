@@ -66,8 +66,14 @@ def pconv_wins(x_shape) -> bool:
     return FORCE or (x_shape[3] // 2) % 128 == 0
 
 
-def pconv_ok(x_shape, w_shape) -> bool:
-    """Shape gate for the packed kernel."""
+def pconv_ok(x_shape, w_shape, dtype=None) -> bool:
+    """Shape gate for the packed kernel.
+
+    ``dtype`` is the COMPUTE dtype the kernel would run in — the VMEM-fit
+    check must use its element size (f32 windows are 2x bf16's; gating
+    with the wrong size would route a shape whose block picker then finds
+    no feasible hb and divides by zero).  None = f32 (the conservative
+    default; bf16 callers pass their dtype to unlock the larger shapes)."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     B, T, H, W, Ci = x_shape
@@ -75,7 +81,8 @@ def pconv_ok(x_shape, w_shape) -> bool:
         return False
     if T < 3 or W % 2 != 0 or H < 8:
         return False
-    return _pick_hb(H, W // 2, 2) > 0
+    esize = 2 if dtype == jnp.bfloat16 else 4
+    return _pick_hb(H, W // 2, esize) > 0
 
 
 def _vmem_cost(hb: int, wg: int, esize: int) -> int:
@@ -177,7 +184,8 @@ def conv3d64_pallas(x: jnp.ndarray, w: jnp.ndarray, b=None,
     """Packed-lane conv3d.  x: (B,T,H,W,64) with even W, w: (3,3,3,64,64),
     optional bias (64,) and fused LeakyReLU.  Output dtype == x.dtype."""
     B, T, H, W, C = x.shape
-    assert pconv_ok(x.shape, w.shape), (x.shape, w.shape)
+    assert pconv_ok(x.shape, w.shape, dtype=x.dtype), (x.shape, w.shape,
+                                                       x.dtype)
     wg_n = W // 2
     esize = 2 if x.dtype == jnp.bfloat16 else 4
     hb = _pick_hb(H, wg_n, esize)

@@ -126,8 +126,12 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         return spatial_constraint(x, mesh)
 
     # inter-stage upscales re-anchor the spatial sharding inside G.apply
-    # (resize = dense H-mixing matmul; propagation alone loses the split)
-    G.mesh = mesh
+    # (resize = dense H-mixing matmul; propagation alone loses the split).
+    # G.mesh is read at first-trace time, so only set it when explicit: a
+    # later mesh-less builder for the same G (e.g. a benchmark step set)
+    # must not clobber an --spmd run's constraint anchoring.
+    if mesh is not None or getattr(G, "mesh", None) is None:
+        G.mesh = mesh
 
     rec_weight = cfg.rec_weight
     kl_weight = cfg.kl_weight

@@ -238,9 +238,10 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 if cfg.visualize and cfg.print_interval > 0 \
                         and iteration % cfg.print_interval == 0:
                     # the visualization below wants this chunk's last batch
-                    # + a fresh noise draw — dispatched only on TB chunks
-                    gb = jax.vmap(gather, in_axes=(None, None, 0, 0))
-                    real, real_zero = gb(*loader.stores, idxs[-1], flips[-1])
+                    # + a fresh noise draw — one jitted gather (the
+                    # loader's chunk program), dispatched only on TB chunks
+                    rs, rzs = loader.gather_rows(idxs_h[-1:], flips_h[-1:])
+                    real, real_zero = rs[0], rzs[0]
                     noise_init = jax.random.normal(k_noise,
                                                    tuple(cfg.Z_init_size))
             else:

@@ -109,6 +109,17 @@ def test_ragged_h_and_small_w():
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
 
 
+def test_pconv_ok_respects_compute_dtype():
+    """The VMEM-fit gate must use the COMPUTE dtype's element size: at
+    W=512 the f32 windows exceed the budget (no feasible H block — the
+    old bf16-hardcoded gate passed the shape and the block picker then
+    divided by zero) while bf16 still fits."""
+    shape, w = (1, 3, 16, 512, 64), (3, 3, 3, 64, 64)
+    assert cp.pconv_ok(shape, w, dtype=jnp.bfloat16)
+    assert not cp.pconv_ok(shape, w)                      # f32 default
+    assert not cp.pconv_ok(shape, w, dtype=jnp.float32)
+
+
 def test_profitability_gate():
     """The model routing only uses the kernel at measured-win shapes
     (W % 256 == 0, BENCHMARKS.md r2 scale-7/8 anti-result); FORCE (set by
