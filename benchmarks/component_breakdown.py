@@ -61,7 +61,9 @@ else:
                  max_size=256)
 cfg.remat = os.environ.get("REMAT", "0") == "1"
 cfg.remat_blocks = os.environ.get("REMAT_BLOCKS", "0") == "1"
-cfg.gp_chunked = os.environ.get("GPCHUNK", "0") == "1"
+# GPCHUNK=1: lax.map per-sample GP; GPCHUNK=2: unrolled per-sample GP
+_gpchunk_mode = os.environ.get("GPCHUNK", "0")
+cfg.gp_chunked = {"0": False, "1": True, "2": "unroll"}[_gpchunk_mode]
 cfg.fast_grads = os.environ.get("FAST", "0") == "1"
 cfg.bf16 = os.environ.get("BF16", "0") == "1"
 cfg.wpack = os.environ.get("WPACK", "0") == "1"

@@ -58,7 +58,11 @@ def calc_gradient_penalty(d_apply: Callable[[jnp.ndarray], jnp.ndarray],
     ``lax.map``, dividing the GP's (dominant) second-order HBM footprint by
     the batch size.  Exact for per-sample critics (the SN WDiscriminator);
     must stay False for the BatchNorm baselines critic, whose train-mode
-    statistics couple batch elements.
+    statistics couple batch elements.  ``chunked="unroll"`` unrolls the
+    per-sample loop into straight-line code instead of a ``lax.map``
+    ``while`` loop — same math, different scheduling/memory trade (the
+    while-loop body measured at 95 GB/s in the r2 trace; unrolling lets
+    XLA overlap the per-sample programs at the cost of a higher peak).
     """
     alpha = jax.random.uniform(key, ())
     interpolates = alpha * real + (1.0 - alpha) * fake
@@ -68,6 +72,10 @@ def calc_gradient_penalty(d_apply: Callable[[jnp.ndarray], jnp.ndarray],
         grad_norm = jnp.sqrt(jnp.sum(jnp.square(grads), axis=-1) + 0.0)
         return jnp.square(grad_norm - 1.0)
 
+    if chunked == "unroll":
+        sq = jnp.stack([penalty_map(interpolates[i:i + 1])
+                        for i in range(interpolates.shape[0])])
+        return jnp.mean(sq) * lambda_grad
     if chunked:
         sq = jax.lax.map(lambda x: penalty_map(x[None]), interpolates)
         return jnp.mean(sq) * lambda_grad

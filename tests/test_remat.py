@@ -104,10 +104,12 @@ def test_critic_gp_grads_match(level):
 
 
 def test_chunked_gp_matches_batched():
-    """Per-sample lax.map GP == batched GP for the per-sample SN critic."""
+    """Per-sample GP (lax.map AND unrolled) == batched GP for the
+    per-sample SN critic."""
     v0, g0 = _d_grads(False, chunked=False)
-    v1, g1 = _d_grads(False, chunked=True)
-    np.testing.assert_allclose(v0, v1, rtol=1e-6)
-    for a, b in zip(g0, g1):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
-                                   atol=1e-6)
+    for mode in (True, "unroll"):
+        v1, g1 = _d_grads(False, chunked=mode)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
