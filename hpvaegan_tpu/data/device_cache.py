@@ -103,11 +103,16 @@ class DeviceCacheLoader:
     (B, ...) batch (squeezed k=1 chunk) for the non-scan path.
     """
 
-    def __init__(self, dataset, batch_size: int, seed: int, scale_idx: int):
+    def __init__(self, dataset, batch_size: int, seed: int, scale_idx: int,
+                 sharding=None):
+        """``sharding``: optional placement for the frame stores — under
+        --spmd pass a replicated NamedSharding(mesh, P()) so the in-step
+        gather output feeds the step's (data, spatial) sharding
+        constraints from every device."""
         views = dataset.device_cache_views(scale_idx)
         (cur_store, zero_store, self._n_start, self._gather_kw) = views
-        self._cur = jax.device_put(jnp.asarray(cur_store))
-        self._zero = jax.device_put(jnp.asarray(zero_store))
+        self._cur = jax.device_put(jnp.asarray(cur_store), sharding)
+        self._zero = jax.device_put(jnp.asarray(zero_store), sharding)
         self._is_video = "td" in self._gather_kw
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)

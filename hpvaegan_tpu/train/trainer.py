@@ -108,15 +108,21 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     # device-resident frame cache: per-scale store uploaded once, crops/
     # flips jitted on device — removes the host (and the relay round trip)
     # from the hot loop.  --host-loader restores the prefetching host
-    # pipeline; --spmd keeps it too (the loader's `place` callable shards
-    # each batch at the jit boundary).
+    # pipeline.  Under --spmd the stores are replicated over the mesh and
+    # the steps' in-body sharding constraints (parallel/mesh.
+    # spatial_constraint) re-shard each gathered batch over
+    # (data, spatial) — the cache composes with SPMD.
     from ..data import DeviceCacheLoader, supports_device_cache
-    if (not getattr(cfg, "host_loader", False) and place is None
+    if (not getattr(cfg, "host_loader", False)
             and supports_device_cache(dataset)):
+        store_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            store_sharding = NamedSharding(mesh, PartitionSpec())
         loader = DeviceCacheLoader(
             dataset, cfg.batch_size,
             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-            scale_idx=scale_idx)
+            scale_idx=scale_idx, sharding=store_sharding)
         gather = loader.sample_gather()
     else:
         loader = BatchLoader(dataset, cfg.batch_size,

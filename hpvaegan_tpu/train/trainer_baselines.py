@@ -84,12 +84,16 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                                                         mesh=mesh))
 
     from ..data import DeviceCacheLoader, supports_device_cache
-    if (not getattr(cfg, "host_loader", False) and place is None
+    if (not getattr(cfg, "host_loader", False)
             and supports_device_cache(dataset)):
+        store_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            store_sharding = NamedSharding(mesh, PartitionSpec())
         loader = DeviceCacheLoader(
             dataset, cfg.batch_size,
             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-            scale_idx=scale_idx)
+            scale_idx=scale_idx, sharding=store_sharding)
     else:
         loader = BatchLoader(dataset, cfg.batch_size,
                              seed=(cfg.manualSeed or 0) * 1000 + scale_idx,

@@ -250,8 +250,12 @@ def test_spmd_training_cli_e2e(tmp_path):
     asset = os.path.join(os.path.dirname(__file__), "assets",
                          "test_video.avi")
     mod = importlib.import_module("train_video")
+    # --scan-steps 3 routes through the fused device-cache scan step —
+    # the gather + RNG run inside the SPMD-sharded dispatch with the
+    # frame stores replicated over the mesh
     argv = ["train_video.py", "--video-path", asset, "--img-size", "16",
-            "--min-size", "8", "--max-size", "16", "--niter", "2",
+            "--min-size", "8", "--max-size", "16", "--niter", "4",
+            "--scan-steps", "3",
             "--nfc", "8", "--num-layer", "2", "--batch-size", "2",
             "--vae-levels", "2", "--latent-dim", "8", "--enc-blocks", "1",
             "--manualSeed", "11", "--spmd", "--mesh-shape", "2x4",
