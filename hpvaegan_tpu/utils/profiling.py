@@ -40,21 +40,35 @@ class StepTimer:
         self._count = 0
         self._last_sync = 0
         self._t0: Optional[float] = None
+        self._warmed = False
         self.steps_per_sec = float("nan")
 
     def step(self, sync_value=None, n: int = 1) -> None:
         """Call once per dispatch (``n`` = iterations it covered, e.g. the
         lax.scan chunk size); pass a device scalar (e.g. the loss) to
-        serialize against the device every ``sync_every`` steps."""
+        serialize against the device every ``sync_every`` steps.
+
+        Everything up to and including the FIRST fence is treated as
+        warmup — through the axon relay a fresh process's first scalar
+        fetch can stall 10-50 s server-side (and late compiles land
+        there too), which would otherwise poison the amortized rate of
+        short scales.  The first reported rate therefore appears at the
+        second fence."""
         if self._t0 is None:
             self._t0 = time.perf_counter()
         self._count += n
         if sync_value is not None and \
                 self._count - self._last_sync >= self.sync_every:
             float(sync_value)  # device fence
+            now = time.perf_counter()
+            if not self._warmed:
+                self._warmed = True
+                self._t0 = now
+                self._count = 0
+                self._last_sync = 0
+                return
             self._last_sync = self._count
-            dt = time.perf_counter() - self._t0
-            self.steps_per_sec = self._count / dt
+            self.steps_per_sec = self._count / (now - self._t0)
 
     @property
     def suffix(self) -> str:
@@ -67,3 +81,5 @@ class StepTimer:
         self._count = 0
         self._last_sync = 0
         self._t0 = None
+        self._warmed = False
+        self.steps_per_sec = float("nan")

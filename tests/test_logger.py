@@ -111,3 +111,19 @@ def test_progressbar_postfix_format(logbook):
     text = logbook.read_text()
     assert "loss=1.0" in text
     assert ", loss=1.0" not in text  # the reference's comma fix
+
+
+def test_step_timer_first_fence_is_warmup():
+    """StepTimer treats everything before its first device fence as warmup
+    (fresh-process first fetches can stall 10-50 s through the relay); the
+    first reported rate comes from the post-warmup window only."""
+    from hpvaegan_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(sync_every=2)
+    t.step(1.0, n=2)                      # first fence: warmup, no rate
+    assert t.suffix == ""
+    t.step(1.0, n=2)                      # second fence: rate appears
+    assert "(amortized)" in t.suffix
+    assert t.steps_per_sec > 0
+    t.reset()
+    assert t.suffix == ""                 # NaN again after reset
