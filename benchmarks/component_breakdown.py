@@ -16,7 +16,7 @@ Components:
   gp_grads      critic grads, gradient-penalty double-backprop only
   full_step     the real fused gan_step (reference composition)
 
-Usage: [SCALE=9] [FAST=1] [BF16=1] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1]
+Usage: [SCALE=9] [FAST=1] [BF16=1] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=0|1|2]
        [CPU=1 SMALL=1] python benchmarks/component_breakdown.py
 """
 import json
@@ -61,8 +61,10 @@ else:
                  max_size=256)
 cfg.remat = os.environ.get("REMAT", "0") == "1"
 cfg.remat_blocks = os.environ.get("REMAT_BLOCKS", "0") == "1"
-# GPCHUNK=1: lax.map per-sample GP; GPCHUNK=2: unrolled per-sample GP
+# GPCHUNK=0: batched GP; 1: lax.map per-sample; 2: unrolled per-sample
 _gpchunk_mode = os.environ.get("GPCHUNK", "0")
+if _gpchunk_mode not in ("0", "1", "2"):
+    raise SystemExit(f"GPCHUNK={_gpchunk_mode!r} invalid: 0=batched, 1=lax.map, 2=unroll")
 cfg.gp_chunked = {"0": False, "1": True, "2": "unroll"}[_gpchunk_mode]
 cfg.fast_grads = os.environ.get("FAST", "0") == "1"
 cfg.bf16 = os.environ.get("BF16", "0") == "1"

@@ -1,6 +1,6 @@
 """Per-scale train-step throughput, ours on 1 TPU chip, default config.
 
-Usage: [NDIM=2] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=1] [FAST=1] [BF16=1]
+Usage: [NDIM=2] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=0|1|2] [FAST=1] [BF16=1]
        [FUSED=1] [PCONV=1] [SCAN=K] python benchmarks/per_scale_ours.py [scales...]
 Numbers recorded in BENCHMARKS.md "Per-scale train-step throughput".
 NDIM=2 measures the 2D image pipeline (train_image.py workload); default
@@ -45,7 +45,10 @@ for SCALE in SCALES:
                      max_size=256)
     cfg.remat = _os.environ.get("REMAT", "0") == "1"
     cfg.remat_blocks = _os.environ.get("REMAT_BLOCKS", "0") == "1"
-    cfg.gp_chunked = _os.environ.get("GPCHUNK", "0") == "1"
+    _gp = _os.environ.get("GPCHUNK", "0")  # 0=batched, 1=lax.map, 2=unroll
+    if _gp not in ("0", "1", "2"):
+        raise SystemExit(f"GPCHUNK={_gp!r} invalid: 0=batched, 1=lax.map, 2=unroll")
+    cfg.gp_chunked = {"0": False, "1": True, "2": "unroll"}[_gp]
     cfg.fast_grads = _os.environ.get("FAST", "0") == "1"
     cfg.bf16 = _os.environ.get("BF16", "0") == "1"
     cfg.fused_forwards = _os.environ.get("FUSED", "0") == "1"

@@ -42,7 +42,7 @@ def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def calc_gradient_penalty(d_apply: Callable[[jnp.ndarray], jnp.ndarray],
                           real: jnp.ndarray, fake: jnp.ndarray,
                           lambda_grad: float, key: jax.Array,
-                          chunked: bool = False) -> jnp.ndarray:
+                          chunked: bool | str = False) -> jnp.ndarray:
     """WGAN-GP (modules/utils.py:4-19), reference quirks preserved:
 
     * a single scalar alpha ~ U(0,1) is shared by the entire batch

@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["parse_mesh_shape", "make_mesh", "batch_spec", "shard_batch",
+           "replicated_sharding",
            "replicate", "shard_gvars", "spatial_constraint"]
 
 AXIS_DATA = "data"
@@ -133,6 +134,13 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (params, optimizer state) over the whole mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def replicated_sharding(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
+    """The 'replicated on this mesh' placement as a sharding object (for
+    APIs that take a sharding rather than an array, e.g. the device
+    cache's store upload); None when not running under --spmd."""
+    return None if mesh is None else NamedSharding(mesh, P())
 
 
 def shard_gvars(gvars: Any, mesh: Mesh) -> Any:

@@ -142,7 +142,8 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         and hasattr(G, "apply_fused")
     from ..models.generators import _remat_level
     use_remat = _remat_level(cfg)
-    use_chunked = bool(getattr(cfg, "gp_chunked", False))
+    # False | True (lax.map) | "unroll" — preserve the mode, not just truthiness
+    use_chunked = getattr(cfg, "gp_chunked", False)
 
     def g_value_and_grad(gvars, loss_of_pview):
         """value_and_grad over the full params view, or — fast path — over
@@ -274,7 +275,7 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             gp = calc_gradient_penalty(
                 lambda x: apply_disc(D_gp, dv, x, train=True, remat=use_remat, cfg=cfg)[0],
                 real, fake, lambda_grad, k_gp,
-                chunked=use_chunked and "batch_stats" not in dvars)
+                chunked=use_chunked if "batch_stats" not in dvars else False)
             return errD_real + errD_fake + gp, (errD_real, errD_fake, gp, dv)
 
         dview = dparams_view(dvars)
@@ -430,7 +431,8 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     gsteps = cfg.Gsteps
     from ..models.generators import _remat_level
     use_remat = _remat_level(cfg)
-    use_chunked = bool(getattr(cfg, "gp_chunked", False))
+    # False | True (lax.map) | "unroll" — preserve the mode, not just truthiness
+    use_chunked = getattr(cfg, "gp_chunked", False)
 
     @jax.jit
     def calibrate(gvars, real, z_init, amps, key):
@@ -465,7 +467,7 @@ def make_baseline_steps(G, D, cfg, tx_g: optax.GradientTransformation,
                 pen = calc_gradient_penalty(
                     lambda x: apply_disc(D, dv, x, train=True, remat=use_remat)[0],
                     real, fake, lambda_grad, jax.random.fold_in(k_gp, j),
-                    chunked=use_chunked and "batch_stats" not in dvars)
+                    chunked=use_chunked if "batch_stats" not in dvars else False)
                 return e_real + e_fake + pen, (e_real, e_fake, pen, dv)
 
             dview = dparams_view(dvars)

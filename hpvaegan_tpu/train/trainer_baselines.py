@@ -86,10 +86,8 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
     from ..data import DeviceCacheLoader, supports_device_cache
     if (not getattr(cfg, "host_loader", False)
             and supports_device_cache(dataset)):
-        store_sharding = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            store_sharding = NamedSharding(mesh, PartitionSpec())
+        from ..parallel import replicated_sharding
+        store_sharding = replicated_sharding(mesh)
         loader = DeviceCacheLoader(
             dataset, cfg.batch_size,
             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,

@@ -52,8 +52,10 @@ class StepTimer:
         warmup — through the axon relay a fresh process's first scalar
         fetch can stall 10-50 s server-side (and late compiles land
         there too), which would otherwise poison the amortized rate of
-        short scales.  The first reported rate therefore appears at the
-        second fence."""
+        short scales.  The first fence still reports a rate (so runs
+        shorter than two fences show *something*), but marks it as
+        warmup-inclusive; the second fence onward reports the clean
+        post-warmup amortized rate."""
         if self._t0 is None:
             self._t0 = time.perf_counter()
         self._count += n
@@ -61,6 +63,7 @@ class StepTimer:
                 self._count - self._last_sync >= self.sync_every:
             float(sync_value)  # device fence
             now = time.perf_counter()
+            self.steps_per_sec = self._count / (now - self._t0)
             if not self._warmed:
                 self._warmed = True
                 self._t0 = now
@@ -68,13 +71,16 @@ class StepTimer:
                 self._last_sync = 0
                 return
             self._last_sync = self._count
-            self.steps_per_sec = self._count / (now - self._t0)
 
     @property
     def suffix(self) -> str:
-        """' | N.NN it/s (amortized)' once a fenced measurement exists."""
+        """' | N.NN it/s (amortized)' once a fenced measurement exists;
+        the first-fence value is flagged '(incl. warmup)' because it still
+        contains compiles and the relay's first-fetch stall."""
         if self.steps_per_sec != self.steps_per_sec:  # NaN: no fence yet
             return ""
+        if self._warmed and self._last_sync == 0:
+            return f" | {self.steps_per_sec:.2f} it/s (incl. warmup)"
         return f" | {self.steps_per_sec:.2f} it/s (amortized)"
 
     def reset(self) -> None:
