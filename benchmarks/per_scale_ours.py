@@ -1,7 +1,7 @@
 """Per-scale train-step throughput, ours on 1 TPU chip, default config.
 
 Usage: [NDIM=2] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=0|1|2] [FAST=1] [BF16=1]
-       [FUSED=1] [PCONV=1] [SCAN=K] python benchmarks/per_scale_ours.py [scales...]
+       [FUSED=1] [PCONV=1] [SCAN=K] [BS=N] python benchmarks/per_scale_ours.py [scales...]
 Numbers recorded in BENCHMARKS.md "Per-scale train-step throughput".
 NDIM=2 measures the 2D image pipeline (train_image.py workload); default
 is the 3D video pipeline.
@@ -41,7 +41,9 @@ for SCALE in SCALES:
                      max_size=32)
     else:
         cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
-                     vae_levels=3, batch_size=2, img_size=256, min_size=32,
+                     vae_levels=3,
+                     batch_size=int(_os.environ.get("BS", "2")),
+                     img_size=256, min_size=32,
                      max_size=256)
     cfg.remat = _os.environ.get("REMAT", "0") == "1"
     cfg.remat_blocks = _os.environ.get("REMAT_BLOCKS", "0") == "1"
@@ -65,7 +67,7 @@ for SCALE in SCALES:
     gvars = G.init(key, 1)
     for i in range(SCALE):
         gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
-    batch = 2
+    batch = cfg.batch_size
     shp = lambda i: shape_at(pyr, i, NDIM)  # noqa: E731
     gan = cfg.vae_levels < SCALE + 1
     if gan:
@@ -168,8 +170,9 @@ for SCALE in SCALES:
     phase = "gan" if gan else "vae"
     td_tag = f"td={pyr.td(SCALE)}, " if NDIM == 3 else ""
     print(f"scale {SCALE} ({phase}, {td_tag}"
-          f"hw={pyr.shape2d(SCALE)}): warmup {warm:.0f}s, "
+          f"hw={pyr.shape2d(SCALE)}, bs={cfg.batch_size}): warmup {warm:.0f}s, "
           f"{rate:.2f} it/s", flush=True)
-    results[SCALE] = {"phase": phase, "it_per_s": round(rate, 3)}
+    results[SCALE] = {"phase": phase, "it_per_s": round(rate, 3),
+                      "batch_size": cfg.batch_size}
 
 print(json.dumps(results), flush=True)
