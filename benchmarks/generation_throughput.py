@@ -37,7 +37,7 @@ for i in range(SCALE):
     gvars = G.init_next_stage(gvars, jax.random.fold_in(key, 100 + i))
 amps = jnp.full(SCALE + 1, 0.1, jnp.float32)
 
-batch = 2
+batch = int(__import__('os').environ.get('BS', '2'))
 noise_shape = noise_init_shape(pyr, batch, cfg.latent_dim, NDIM)
 
 
