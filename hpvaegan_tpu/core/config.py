@@ -101,6 +101,9 @@ class Config:
     host_loader: bool = False      # host prefetch pipeline instead of the
     #                                device-resident frame cache
     profile_dir: str = ""          # jax.profiler trace output dir
+    compile_ahead: bool = False    # compile next scale's programs during
+    #                                this scale's training (a thread lowers
+    #                                from abstract shapes; no HBM touched)
     scan_steps: int = 1            # iterations per dispatch (lax.scan)
     remat: bool = False            # jax.checkpoint refinement stages + critic
     remat_blocks: bool = False     # nn.remat each conv block (finer, slower)
@@ -254,6 +257,14 @@ _COMMON_FLAGS = [
     (["--run-dir"], dict(type=str, default="run", dest="run_dir", help="experiment tree root")),
     (["--profile-dir"], dict(type=str, default="", dest="profile_dir",
                              help="write a jax.profiler trace of iterations 5-15 of each scale")),
+    (["--compile-ahead"], dict(action="store_true", default=False,
+                               dest="compile_ahead",
+                               help="overlap the next scale's XLA "
+                                    "compilation with this scale's training "
+                                    "(a daemon thread pre-lowers from "
+                                    "abstract shapes and warms the "
+                                    "compilation cache; OOM-ladder rungs "
+                                    "are discovered off the critical path)")),
     (["--scan-steps"], dict(type=int, default=1, dest="scan_steps",
                             help="run K iterations per device dispatch via lax.scan "
                                  "(amortizes dispatch overhead; metrics/TB update every K)")),

@@ -70,6 +70,21 @@ class _ImageDatasetBase:
         kw = dict(hflip=bool(self.cfg.hflip), virtual_len=len(self))
         return cur, zero, len(self.images), kw
 
+    def device_cache_spec(self, scale_idx: int):
+        """Shape-only twin of device_cache_views for the compile-ahead
+        thread (train/precompile.py): next scale's store shapes without
+        resizing that scale's images."""
+        n = len(self.images)
+        h, w = self.pyramid.shape2d(scale_idx)
+        cur_shape = (n, h, w, 3)
+        if scale_idx > 0:
+            h0, w0 = self.pyramid.shape2d(0)
+            zero_shape = (n, h0, w0, 3)
+        else:
+            zero_shape = cur_shape
+        kw = dict(hflip=bool(self.cfg.hflip), virtual_len=len(self))
+        return cur_shape, zero_shape, n, kw
+
     def batch(self, rng: np.random.Generator, indices: np.ndarray,
               scale_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Assemble one batch; each item gets its own hflip draw

@@ -146,6 +146,27 @@ class SingleVideoDataset:
                   virtual_len=n_start * cfg.data_rep)
         return self.frames, zero, n_start, kw
 
+    def device_cache_spec(self, scale_idx: int):
+        """Shape-only twin of device_cache_views — (cur_shape, zero_shape,
+        n_start, gather_kwargs) WITHOUT decoding that scale's frames, so the
+        compile-ahead thread (train/precompile.py) can lower next scale's
+        programs while this scale still trains."""
+        cfg = self.cfg
+        n = len(self.zero_scale_frames)
+        h, w = self.pyramid.shape2d(scale_idx)
+        every = cfg.sampling_rates[self.pyramid.fps_index(scale_idx)]
+        td = cfg.fps_lcm // every + 1
+        if scale_idx > 0:
+            zero_shape = tuple(self.zero_scale_frames.shape)
+            every0 = cfg.sampling_rates[0]
+        else:
+            zero_shape, every0 = (n, h, w, 3), every
+        td0 = cfg.fps_lcm // every0 + 1
+        n_start = n - cfg.fps_lcm
+        kw = dict(td=td, every=every, td0=td0, every0=every0,
+                  hflip=bool(cfg.hflip), virtual_len=n_start * cfg.data_rep)
+        return (n, h, w, 3), zero_shape, n_start, kw
+
     def batch(self, rng: np.random.Generator, indices: np.ndarray,
               scale_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         cur_list, zero_list = [], []

@@ -24,7 +24,7 @@ from __future__ import annotations
 import logging
 from typing import Any, Callable, Dict
 
-__all__ = ["oom_dispatch", "is_hbm_oom"]
+__all__ = ["oom_dispatch", "is_hbm_oom", "escalate"]
 
 
 def is_hbm_oom(exc: BaseException) -> bool:
@@ -42,6 +42,24 @@ def is_hbm_oom(exc: BaseException) -> bool:
             and "tpu_compile_helper subprocess exit code 1" in msg)
 
 
+def escalate(cfg) -> str | None:
+    """Enable the next memory rung on ``cfg`` (measured order, see module
+    docstring); returns its description, or None when all three are already
+    on.  Shared by the runtime dispatch below and the compile-ahead thread
+    (train/precompile.py), which discovers next-scale OOMs off the critical
+    path."""
+    if cfg.remat and cfg.remat_blocks and cfg.gp_chunked:
+        return None
+    if not cfg.remat:
+        cfg.remat = True
+        return "rematerialization (--remat)"
+    if not cfg.gp_chunked:
+        cfg.gp_chunked = True
+        return "per-sample gradient penalty (--gp-chunked)"
+    cfg.remat_blocks = True
+    return "per-block rematerialization (--remat-blocks)"
+
+
 def oom_dispatch(cfg, scale_idx: int,
                  rebuild: Callable[[], Dict[str, Callable]]):
     """Returns ``dispatch(name, *args)`` running ``rebuild()``'s steps with
@@ -53,18 +71,11 @@ def oom_dispatch(cfg, scale_idx: int,
         try:
             return steps[name](*args, **kwargs)
         except Exception as e:  # jaxlib XlaRuntimeError has no stable import
-            if not is_hbm_oom(e) or (cfg.remat and cfg.remat_blocks
-                                     and cfg.gp_chunked):
+            if not is_hbm_oom(e):
                 raise
-            if not cfg.remat:
-                cfg.remat = True
-                what = "rematerialization (--remat)"
-            elif not cfg.gp_chunked:
-                cfg.gp_chunked = True
-                what = "per-sample gradient penalty (--gp-chunked)"
-            else:
-                cfg.remat_blocks = True
-                what = "per-block rematerialization (--remat-blocks)"
+            what = escalate(cfg)
+            if what is None:
+                raise
             logging.warning(
                 f"scale {scale_idx}: step does not fit HBM — enabling "
                 f"{what} and recompiling")

@@ -24,6 +24,8 @@ __all__ = [
     "merge_dparams",
     "hpvaegan_group_plan",
     "baselines_group_plan",
+    "g_transform",
+    "d_transform",
     "build_g_optimizer",
     "build_d_optimizer",
 ]
@@ -209,22 +211,41 @@ def scatter_grads(params_view_template: Dict[str, Any],
     return out
 
 
+def g_transform(cfg, params_view_like: Dict[str, Any],
+                module_labels: Dict[str, str], body_labels: List[str],
+                lrs: Dict[str, float], grad_clip: Optional[float]
+                ) -> optax.GradientTransformation:
+    """Generator transform only: [global clip ->] grouped Adam.
+
+    ``params_view_like`` may hold abstract leaves (ShapeDtypeStructs) — only
+    the tree STRUCTURE shapes the label tree, so the compile-ahead thread
+    (train/precompile.py) can build the next scale's transform without
+    allocating its parameters."""
+    transforms = {lab: optax.adam(lr, b1=cfg.beta1, b2=0.999)
+                  for lab, lr in lrs.items()}
+    transforms["frozen"] = optax.set_to_zero()
+    labels = _label_tree(params_view_like, module_labels, body_labels)
+    tx = optax.multi_transform(transforms, labels)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
 def build_g_optimizer(cfg, params_view: Dict[str, Any],
                       module_labels: Dict[str, str], body_labels: List[str],
                       lrs: Dict[str, float], grad_clip: Optional[float]
                       ) -> Tuple[optax.GradientTransformation, Any]:
     """Fresh per-scale generator optimizer: [global clip ->] grouped Adam."""
-    transforms = {lab: optax.adam(lr, b1=cfg.beta1, b2=0.999)
-                  for lab, lr in lrs.items()}
-    transforms["frozen"] = optax.set_to_zero()
-    labels = _label_tree(params_view, module_labels, body_labels)
-    tx = optax.multi_transform(transforms, labels)
-    if grad_clip is not None:
-        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    tx = g_transform(cfg, params_view, module_labels, body_labels, lrs,
+                     grad_clip)
     return tx, tx.init(params_view)
+
+
+def d_transform(cfg) -> optax.GradientTransformation:
+    return optax.adam(cfg.lr_d, b1=cfg.beta1, b2=0.999)
 
 
 def build_d_optimizer(cfg, dparams: Dict[str, Any]
                       ) -> Tuple[optax.GradientTransformation, Any]:
-    tx = optax.adam(cfg.lr_d, b1=cfg.beta1, b2=0.999)
+    tx = d_transform(cfg)
     return tx, tx.init(dparams)

@@ -137,6 +137,21 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
     dispatch = oom_dispatch(cfg, scale_idx, _rebuild)
 
+    # ---- compile-ahead (--compile-ahead): join the thread that has been
+    # compiling THIS scale's programs since the previous scale started, so
+    # the first dispatch below hits the compilation cache; then capture the
+    # shape skeleton needed to launch the NEXT scale's thread (before any
+    # donation invalidates the buffers).  train/precompile.py.
+    ahead_enabled = bool(getattr(cfg, "compile_ahead", False))
+    prev_ahead = getattr(cfg, "_compile_ahead_thread", None)
+    if prev_ahead is not None and prev_ahead.is_alive():
+        prev_ahead.join(timeout=900)
+    cfg._compile_ahead_thread = None
+    ahead_started = not ahead_enabled
+    if ahead_enabled:
+        from .precompile import abstract_tree
+        gvars_abs = abstract_tree(gvars)
+
     bar = create_progressbar(
         total=cfg.niter,
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
@@ -279,6 +294,14 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 real, real_zero = reals[-1], rzs[-1]
                 noise_init = jax.random.normal(k_noise,
                                                tuple(cfg.Z_init_size))
+
+            if not ahead_started:
+                # this scale's programs are compiled (the dispatch above
+                # returned) — start compiling the next scale's in parallel
+                ahead_started = True
+                from .precompile import start_compile_ahead
+                cfg._compile_ahead_thread = start_compile_ahead(
+                    cfg, G, gvars_abs, dataset, scale_idx + 1, ndim)
 
             it_logged = iteration + k - 1  # last iteration of this chunk
             bar.update(k)

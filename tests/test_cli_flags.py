@@ -19,7 +19,7 @@ EXTRA_ALLOWED = {
     "--bf16", "--fast-grads", "--fused-forwards", "--mesh-shape", "--spmd",
     "--run-dir", "--profile-dir", "--scan-steps", "--distributed", "--help",
     "--remat", "--remat-blocks", "--gp-chunked",
-    "--wpack", "--pconv", "--pconv-all", "--host-loader",
+    "--wpack", "--pconv", "--pconv-all", "--host-loader", "--compile-ahead",
 }
 
 # shared-Config flags our baselines parser accepts that the reference's
