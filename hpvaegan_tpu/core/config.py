@@ -104,6 +104,9 @@ class Config:
     compile_ahead: bool = False    # compile next scale's programs during
     #                                this scale's training (a thread lowers
     #                                from abstract shapes; no HBM touched)
+    decode_ahead: bool = False     # decode next scale's video frames during
+    #                                this scale's training (host thread;
+    #                                OpenCV releases the GIL)
     scan_steps: int = 1            # iterations per dispatch (lax.scan)
     remat: bool = False            # jax.checkpoint refinement stages + critic
     remat_blocks: bool = False     # nn.remat each conv block (finer, slower)
@@ -290,6 +293,12 @@ _VIDEO_FLAGS = [
     (["--max-frames"], dict(default=1000, type=int, help="# frames to save")),
     (["--sampling-rates"], dict(type=int, nargs="+", default=[4, 3, 2, 1], help="sampling rates")),
     (["--stop-scale-time"], dict(type=int, default=-1)),
+    (["--decode-ahead"], dict(action="store_true", default=False,
+                              dest="decode_ahead",
+                              help="overlap the next scale's full-video "
+                                   "re-decode with this scale's training "
+                                   "(host daemon thread; holds one extra "
+                                   "scale's frame store in RAM)")),
 ]
 
 _GAN_EXTRA_FLAGS = [

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from typing import Optional, Tuple
 
 import cv2
@@ -78,6 +79,7 @@ class SingleVideoDataset:
         self.zero_scale_frames = self._generate_frames(0)  # float32 [-1,1]
         self.frames: Optional[np.ndarray] = None
         self._frames_scale: Optional[int] = None
+        self._prefetch: Optional[tuple] = None  # (scale_idx, thread, box)
 
     def _generate_frames(self, scale_idx: int) -> np.ndarray:
         h, w = self.pyramid.shape2d(scale_idx)
@@ -92,8 +94,47 @@ class SingleVideoDataset:
         re-decode (generate.py may ask for the same scale twice)."""
         if self._frames_scale == scale_idx and self.frames is not None:
             return
+        pf = self._prefetch
+        if pf is not None and pf[0] == scale_idx:
+            _, thread, box = pf
+            thread.join()
+            self._prefetch = None
+            if "frames" in box:
+                self.frames = box["frames"]
+                self._frames_scale = scale_idx
+                return
+            logging.warning(
+                f"decode-ahead for scale {scale_idx} failed "
+                f"({box.get('error')!r}); re-decoding synchronously")
         self.frames = self._generate_frames(scale_idx)
         self._frames_scale = scale_idx
+
+    def prefetch_frames(self, scale_idx: int) -> None:
+        """Start decoding ``scale_idx``'s frames in a daemon thread
+        (--decode-ahead): the per-scale full-video re-decode — a synchronous
+        scale-boundary cost in the reference (train_video.py:36 →
+        generate_frames.py:7-54) — overlaps this scale's training instead.
+        OpenCV's decode/resize release the GIL, and with the device-resident
+        frame cache the host is idle between chunk dispatches, so the decode
+        rides free CPU time.  The next ``generate_frames(scale_idx)`` call
+        joins the thread; decode errors fall back to a synchronous re-decode
+        there."""
+        if (self._frames_scale == scale_idx
+                or (self._prefetch is not None
+                    and self._prefetch[0] == scale_idx)):
+            return
+        box: dict = {}
+
+        def _work() -> None:
+            try:
+                box["frames"] = self._generate_frames(scale_idx)
+            except Exception as e:  # re-raised as a sync-decode fallback
+                box["error"] = e
+
+        thread = threading.Thread(target=_work, daemon=True,
+                                  name=f"decode-ahead-{scale_idx}")
+        thread.start()
+        self._prefetch = (scale_idx, thread, box)
 
     def __len__(self) -> int:
         return (len(self.zero_scale_frames) - self.cfg.fps_lcm) \

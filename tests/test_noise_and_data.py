@@ -111,3 +111,42 @@ def test_loader_batches_and_replacement():
     real, real_zero = next(loader)
     assert real.shape[0] == 2
     loader.close()
+
+
+def test_decode_ahead_prefetch_identical():
+    """prefetch_frames + generate_frames yields the same frame store as a
+    synchronous decode (--decode-ahead is pure overlap)."""
+    from hpvaegan_tpu.data import SingleVideoDataset
+    sync = SingleVideoDataset(_video_cfg())
+    sync.generate_frames(2)
+    ds = SingleVideoDataset(_video_cfg())
+    ds.prefetch_frames(2)
+    assert ds._prefetch is not None and ds._prefetch[0] == 2
+    ds.generate_frames(2)  # joins the thread
+    assert ds._prefetch is None and ds._frames_scale == 2
+    np.testing.assert_array_equal(ds.frames, sync.frames)
+    # idempotent: a repeat prefetch of the decoded scale is a no-op
+    ds.prefetch_frames(2)
+    assert ds._prefetch is None
+
+
+def test_decode_ahead_failure_falls_back(caplog):
+    """A decode error inside the prefetch thread falls back to a synchronous
+    re-decode in generate_frames instead of surfacing from the thread."""
+    import threading
+
+    from hpvaegan_tpu.data import SingleVideoDataset
+    ds = SingleVideoDataset(_video_cfg())
+    real = ds._generate_frames
+
+    def flaky(scale_idx):
+        if threading.current_thread().name.startswith("decode-ahead"):
+            raise RuntimeError("boom")
+        return real(scale_idx)
+
+    ds._generate_frames = flaky
+    ds.prefetch_frames(1)
+    with caplog.at_level("WARNING"):
+        ds.generate_frames(1)
+    assert ds._frames_scale == 1 and ds.frames is not None
+    assert any("decode-ahead" in r.message for r in caplog.records)

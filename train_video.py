@@ -105,6 +105,9 @@ def main() -> None:
                 f"Sampling-Ratio : {cfg.sampling_rates[cfg.fps_index]}")
             dataset.generate_frames(cfg.scale_idx)
 
+        if cfg.decode_ahead and cfg.scale_idx < cfg.stop_scale:
+            dataset.prefetch_frames(cfg.scale_idx + 1)
+
         gvars = train_scale(cfg, G, gvars, dataset, saver, summary, root_key,
                             ndim=3)
         cfg.scale_idx += 1

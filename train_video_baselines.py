@@ -105,6 +105,9 @@ def main() -> None:
             logging.info(f"Time-Depth : {cfg.td}")
             dataset.generate_frames(cfg.scale_idx)
 
+        if cfg.decode_ahead and cfg.scale_idx < cfg.stop_scale:
+            dataset.prefetch_frames(cfg.scale_idx + 1)
+
         gvars = train_scale_baselines(cfg, G, gvars, dataset, saver, summary,
                                       root_key)
         cfg.scale_idx += 1
