@@ -27,9 +27,10 @@ discovering the OOM live.
 
 No reference analogue (the reference is eager PyTorch — nothing compiles,
 train_video.py:111-241); this is infrastructure the compilation model
-requires.  Not engaged under --spmd (sharded arguments would lower a
-different program than these unsharded abstractions) and never on by
-default — opt in with --compile-ahead.
+requires.  Never on by default — opt in with --compile-ahead.  Under
+--spmd the abstractions carry the trainer's exact NamedShardings
+(replicated variables/stores, batch_spec'd host batches) so the sharded
+program lowers identically too.
 """
 from __future__ import annotations
 
@@ -58,8 +59,19 @@ def abstract_tree(tree):
         lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.result_type(a)), tree)
 
 
-def _sds(shape, dtype=jnp.float32) -> jax.ShapeDtypeStruct:
-    return jax.ShapeDtypeStruct(tuple(int(d) for d in shape), dtype)
+def _sds(shape, dtype=jnp.float32, sharding=None) -> jax.ShapeDtypeStruct:
+    return jax.ShapeDtypeStruct(tuple(int(d) for d in shape), dtype,
+                                sharding=sharding)
+
+
+def _attach(tree, sharding):
+    """Re-issue every ShapeDtypeStruct leaf with ``sharding`` (None = leave
+    unspecified, mirroring an uncommitted runtime array)."""
+    if sharding is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding),
+        tree)
 
 
 def _chunk_k(cfg) -> int:
@@ -83,8 +95,20 @@ def build_programs(cfg, G, gvars_abs: Dict[str, Any], dataset,
     key0 = jax.random.PRNGKey(0)
     B = cfg.batch_size
 
+    # ---- SPMD: mirror the trainer's mesh + placements exactly ----
+    # (trainer.py "optional SPMD" block: variables/optimizers replicated,
+    # host batches batch_spec-sharded, cache stores replicated; everything
+    # else uncommitted).  Wrong predictions only cost a boundary cache miss.
+    mesh = rep = batch_sharding = None
+    if getattr(cfg, "spmd", False) and getattr(cfg, "mesh_shape", ""):
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel import batch_spec, make_mesh, parse_mesh_shape
+        mesh = make_mesh(parse_mesh_shape(cfg.mesh_shape))
+        rep = NamedSharding(mesh, PartitionSpec())
+
     # ---- next-scale generator variables: growth under eval_shape ----
     gv = jax.eval_shape(lambda g: G.init_next_stage(g, key0), gvars_abs)
+    gv = _attach(gv, rep)
 
     # ---- batch geometry ----
     if ndim == 3:
@@ -93,8 +117,23 @@ def build_programs(cfg, G, gvars_abs: Dict[str, Any], dataset,
     else:
         real_shape = (B, *pyramid.shape2d(scale_idx), cfg.nc_im)
         zero_batch_shape = (B, *pyramid.shape2d(0), cfg.nc_im)
-    real_abs = _sds(real_shape)
-    rz_abs = _sds(zero_batch_shape)
+    use_cache = (not getattr(cfg, "host_loader", False)
+                 and hasattr(dataset, "device_cache_spec"))
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        if use_cache:
+            # calibration batch = gather-program output over replicated
+            # stores — replicated
+            real_sh = rz_sh = rep
+        else:  # host loader: shard_batch at the boundary
+            real_sh = NamedSharding(
+                mesh, batch_spec(mesh, ndim, real_shape))
+            rz_sh = NamedSharding(
+                mesh, batch_spec(mesh, ndim, zero_batch_shape))
+    else:
+        real_sh = rz_sh = None
+    real_abs = _sds(real_shape, sharding=real_sh)
+    rz_abs = _sds(zero_batch_shape, sharding=rz_sh)
     amps_abs = _sds((n_amps,), jnp.float32)
     z_init = tuple(getattr(cfg, "Z_init_size", ()) or ())
 
@@ -104,39 +143,38 @@ def build_programs(cfg, G, gvars_abs: Dict[str, Any], dataset,
     if gan:
         D = make_discriminator(cfg.discriminator, cfg, ndim)
         from .trainer import init_discriminator
-        dv = jax.eval_shape(
-            lambda k: init_discriminator(D, k, real_shape), key0)
+        dv = _attach(jax.eval_shape(
+            lambda k: init_discriminator(D, k, real_shape), key0), rep)
         tx_d = d_transform(cfg)
-        od = jax.eval_shape(tx_d.init, dparams_view(dv))
+        od = _attach(jax.eval_shape(tx_d.init, dparams_view(dv)), rep)
 
     pview = gparams_view(gv)
     module_labels, body_labels, lrs = hpvaegan_group_plan(
         cfg, scale_idx, len(gv["body"]))
     tx_g = g_transform(cfg, pview, module_labels, body_labels, lrs,
                        cfg.grad_clip)
-    og = jax.eval_shape(tx_g.init, pview)
+    og = _attach(jax.eval_shape(tx_g.init, pview), rep)
 
     # ---- data path: device-cache gather (default) or host loader ----
     gather = None
     store_abs: Optional[Tuple[Any, Any]] = None
     idx_abs = flip_abs = None
     k = _chunk_k(cfg)
-    use_cache = (not getattr(cfg, "host_loader", False)
-                 and hasattr(dataset, "device_cache_spec"))
     if use_cache:
         from ..data.device_cache import make_sample_gather
         cur_shape, zero_shape, _, kw = dataset.device_cache_spec(scale_idx)
         hflip = bool(kw.pop("hflip"))
         kw.pop("virtual_len")
         gather = make_sample_gather(kw, hflip)
-        store_abs = (_sds(cur_shape), _sds(zero_shape))
+        store_abs = (_sds(cur_shape, sharding=rep),
+                     _sds(zero_shape, sharding=rep))
         trail = (1,) * (4 if ndim == 3 else 3)
         idx_abs = _sds((k, B), jnp.int32)
         flip_abs = _sds((k, B) + trail, jnp.bool_)
 
     steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
                                 group_plan=(module_labels, body_labels),
-                                mesh=None, gather=gather)
+                                mesh=mesh, gather=gather)
 
     progs: List[Tuple[str, Any, tuple, dict]] = []
     progs.append(("calibrate", steps["calibrate"],
@@ -151,6 +189,11 @@ def build_programs(cfg, G, gvars_abs: Dict[str, Any], dataset,
             progs.append(("vae_scan_cache_step", steps["vae_scan_cache_step"],
                           (gv, og, *store_abs, idx_abs, flip_abs, amps_abs,
                            key0, 0), {}))
+    elif k > 1 and mesh is not None:
+        pass  # host-loader scan chunks are stacked from sharded batches
+        #       eagerly (trainer._load_chunk) — their committed sharding is
+        #       compiler-chosen, so a prediction here would likely miss;
+        #       calibrate (below loop) still precompiles
     elif k > 1:
         keys_abs = _sds((k,) + np.shape(key0), key0.dtype)
         reals_abs = _sds((k,) + real_shape)
@@ -243,8 +286,6 @@ def start_compile_ahead(cfg, G, gvars_abs, dataset, scale_idx: int,
     None when compile-ahead does not apply."""
     if scale_idx > cfg.stop_scale:
         return None
-    if getattr(cfg, "spmd", False) and getattr(cfg, "mesh_shape", ""):
-        return None  # sharded args would lower a different program
     if getattr(cfg, "resumed_idx", -1) == scale_idx:
         return None  # growth is skipped on the resumed scale
     t = threading.Thread(target=_run,

@@ -137,3 +137,65 @@ def test_compile_ahead_e2e_identical(tmp_path):
     assert len(la) == len(lb)
     for x, y in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_hlo_identical_under_spmd_mesh():
+    """--compile-ahead composes with --spmd: with the trainer's exact
+    NamedShardings attached to the abstract avals, the precompiled sharded
+    program lowers to the SAME HLO the trainer builds at the boundary."""
+    import jax.numpy as jnp
+    from hpvaegan_tpu.data import SingleImageDataset
+    from hpvaegan_tpu.data.device_cache import DeviceCacheLoader
+    from hpvaegan_tpu.models.registry import (make_discriminator,
+                                              make_generator)
+    from hpvaegan_tpu.parallel import (make_mesh, replicated_sharding,
+                                       shard_gvars)
+    from hpvaegan_tpu.train.optim import (build_d_optimizer,
+                                          build_g_optimizer, dparams_view,
+                                          gparams_view, hpvaegan_group_plan)
+    from hpvaegan_tpu.train.precompile import abstract_tree, build_programs
+    from hpvaegan_tpu.train.steps import make_hpvaegan_steps
+    from hpvaegan_tpu.train.trainer import init_discriminator
+
+    cfg = _image_cfg(["--scan-steps", "2", "--spmd", "--mesh-shape", "2x4"])
+    cfg.discriminator = "WDiscriminator2D"
+    ds = SingleImageDataset(cfg)
+    G = make_generator(cfg.generator, cfg, ds.pyramid, ndim=2)
+    gvars = G.init(jax.random.PRNGKey(0), batch_size=1)
+    h0, w0 = ds.pyramid.shape2d(0)
+    cfg.Z_init_size = [cfg.batch_size, h0, w0, cfg.latent_dim]
+    for i in range(2):
+        gvars = G.init_next_stage(gvars, jax.random.PRNGKey(i))
+
+    progs = build_programs(cfg, G, abstract_tree(gvars), ds, 3, 2, 4)
+    by_name = {name: (fn, args, kw) for name, fn, args, kw in progs}
+    fn, args, kw = by_name["gan_scan_cache_step"]
+    ahead_hlo = fn.lower(*args, **kw).as_text()
+
+    # --- trainer side: concrete sharded boundary construction (trainer.py
+    # "optional SPMD" block) ---
+    mesh = make_mesh((2, 4))
+    gv3 = G.init_next_stage(gvars, jax.random.PRNGKey(3))
+    D = make_discriminator(cfg.discriminator, cfg, 2)
+    shape = (cfg.batch_size, *ds.pyramid.shape2d(3), cfg.nc_im)
+    dvars = init_discriminator(D, jax.random.PRNGKey(4), shape)
+    tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+    plan = hpvaegan_group_plan(cfg, 3, len(gv3["body"]))
+    tx_g, opt_g = build_g_optimizer(cfg, gparams_view(gv3), plan[0], plan[1],
+                                    plan[2], cfg.grad_clip)
+    gv3 = shard_gvars(gv3, mesh)
+    opt_g = shard_gvars(opt_g, mesh)
+    dvars = shard_gvars(dvars, mesh)
+    opt_d = shard_gvars(opt_d, mesh)
+    loader = DeviceCacheLoader(ds, cfg.batch_size, seed=0, scale_idx=3,
+                               sharding=replicated_sharding(mesh))
+    steps = make_hpvaegan_steps(G, D, cfg, tx_g, tx_d,
+                                group_plan=(plan[0], plan[1]), mesh=mesh,
+                                gather=loader.sample_gather())
+    idxs, flips = loader.draw(2)
+    amps = jnp.asarray([1.0, 0.1, 0.1, 0.1], jnp.float32)
+    boundary_hlo = steps["gan_scan_cache_step"].lower(
+        gv3, dvars, opt_g, opt_d, *loader.stores, jnp.asarray(idxs),
+        jnp.asarray(flips), amps, jax.random.PRNGKey(5), 0).as_text()
+
+    assert ahead_hlo == boundary_hlo
