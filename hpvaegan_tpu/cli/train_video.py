@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Progressive multi-scale 3D (spatio-temporal) HP-VAE-GAN training on a
+single video.  Flag-compatible TPU-native rebuild of the reference entry
+point (train_video.py:261-421): per scale the dataset is re-decoded at that
+scale's resolution AND frame rate, then the shared per-scale trainer runs
+the VAE or WGAN-GP phase.
+"""
+import logging
+import os
+import random
+import sys
+
+import jax
+
+if "--no-cuda" in sys.argv:  # --no-cuda == run on the CPU backend
+    jax.config.update("jax_platforms", "cpu")
+
+from hpvaegan_tpu.core.config import build_parser, config_from_args
+from hpvaegan_tpu.data import SingleVideoDataset
+from hpvaegan_tpu.models.registry import make_generator
+from hpvaegan_tpu.train.trainer import train_scale
+from hpvaegan_tpu.utils import (LoggingBlock, TensorboardSummary, VideoSaver,
+                                configure_logging)
+from hpvaegan_tpu.utils.saver import restore_file
+
+
+def main() -> None:
+    parser = build_parser("video")
+    cfg = config_from_args(parser.parse_args())
+
+    from hpvaegan_tpu.parallel import maybe_initialize
+    maybe_initialize(cfg.distributed)
+
+    assert cfg.vae_levels > 0
+    assert cfg.disc_loss_weight > 0
+
+    saver = VideoSaver(cfg)
+    summary = TensorboardSummary(saver.experiment_dir)
+    configure_logging(os.path.join(saver.experiment_dir, "logbook.txt"))
+
+    cfg.adjust_scales()
+
+    if cfg.manualSeed is None:
+        cfg.manualSeed = random.randint(1, 10000)
+    logging.info(f"Random Seed: {cfg.manualSeed}")
+    root_key = jax.random.PRNGKey(cfg.manualSeed)
+
+    cfg.scale_idx = 0
+    cfg.Noise_Amps = []
+
+    dataset = SingleVideoDataset(cfg)  # probes fps/ar, caches level-0 frames
+    pyramid = dataset.pyramid
+
+    # resolved-config snapshot: generate.py / resume rebuild the module tree
+    # from this instead of hand-re-specified flags
+    saver.save_json(cfg.snapshot_dict(), "config.json")
+
+    with LoggingBlock("Commandline Arguments", emph=True):
+        for arg, value in sorted(vars(cfg).items()):
+            if type(value) in (str, int, float, tuple, list):
+                logging.info(f"{arg}: {value}")
+
+    with LoggingBlock("Experiment Summary", emph=True):
+        logging.info(f"Experiment dir: {saver.experiment_dir}")
+        logging.info(f"Generator      : {cfg.generator}")
+        logging.info(f"Iterations     : {cfg.niter}")
+        logging.info(f"Sampling rates : {list(cfg.sampling_rates)}")
+        logging.info(f"Device         : {jax.devices()[0].platform}")
+
+    G = make_generator(cfg.generator, cfg, pyramid, ndim=3)
+    gvars = G.init(jax.random.fold_in(root_key, 7), batch_size=1)
+
+    if cfg.netG != "":
+        if not os.path.isfile(cfg.netG):
+            raise RuntimeError(f"=> no <G> checkpoint found at '{cfg.netG}'")
+        raw = restore_file(cfg.netG)
+        cfg.scale_idx = int(raw["scale"])
+        cfg.resumed_idx = int(raw["scale"])
+        cfg.resume_dir = os.path.dirname(cfg.netG)
+        for i in range(cfg.scale_idx):
+            gvars = G.init_next_stage(gvars,
+                                      jax.random.fold_in(root_key, 100 + i))
+        gvars = restore_file(cfg.netG,
+                             target={"scale": 0, "gvars": gvars,
+                                     "noise_amps": raw["noise_amps"],
+                                     "opt_g": raw.get("opt_g")})["gvars"]
+        amps = restore_file(os.path.join(cfg.resume_dir, "Noise_Amps"))["data"]
+        cfg.Noise_Amps = [float(a) for a in amps]
+    else:
+        cfg.resumed_idx = -1
+
+    while cfg.scale_idx < cfg.stop_scale + 1:
+        if cfg.scale_idx > 0 and cfg.resumed_idx != cfg.scale_idx:
+            gvars = G.init_next_stage(
+                gvars, jax.random.fold_in(root_key, 100 + cfg.scale_idx))
+
+        # per-scale dataset regeneration (train_video.py:25-36)
+        cfg.fps = pyramid.fps(cfg.scale_idx)
+        cfg.td = pyramid.td(cfg.scale_idx)
+        cfg.fps_index = pyramid.fps_index(cfg.scale_idx)
+        with LoggingBlock("Updating dataset", emph=True):
+            logging.info(f"FPS : {cfg.fps}")
+            logging.info(f"Time-Depth : {cfg.td}")
+            logging.info(
+                f"Sampling-Ratio : {cfg.sampling_rates[cfg.fps_index]}")
+            dataset.generate_frames(cfg.scale_idx)
+
+        if cfg.decode_ahead and cfg.scale_idx < cfg.stop_scale:
+            dataset.prefetch_frames(cfg.scale_idx + 1)
+
+        gvars = train_scale(cfg, G, gvars, dataset, saver, summary, root_key,
+                            ndim=3)
+        cfg.scale_idx += 1
+
+    summary.close()
+
+
+if __name__ == "__main__":
+    main()
