@@ -5,6 +5,8 @@ The reference fork has no generation script — rand-mode sampling exists only
 inside training visualization (train_video.py:226-241, SURVEY.md §5.8 quirk
 list).  This entry point loads a trained checkpoint and generates novel
 samples (mode 'rand') or reconstructions (mode 'rec'), batched over seeds.
+Model loading + the jitted samplers live in hpvaegan_tpu.serving (shared
+with the persistent ``hpvaegan-serve`` server).
 
 Examples:
   python generate.py --netG run/clip/DEBUG/experiment_0/netG \
@@ -26,8 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hpvaegan_tpu.core.config import Config
-from hpvaegan_tpu.models.registry import make_generator
-from hpvaegan_tpu.utils.saver import restore_file, write_video
+from hpvaegan_tpu.serving import SamplerSession, apply_snapshot
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -92,25 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-# training-time keys restored from the experiment's config.json snapshot
-# (written at train start); any flag the user passes explicitly wins
-_SNAPSHOT_KEYS = (
-    "generator", "nc_im", "nfc", "latent_dim", "vae_levels", "enc_blocks",
-    "ker_size", "num_layer", "padd_size", "scale_factor", "noise_amp",
-    "min_size", "max_size", "img_size", "sampling_rates", "stop_scale_time",
-    "start_frame", "max_frames", "train_all", "bf16",
-    "video_path", "image_path",
-)
-
-
 def _explicit_cli_keys(argv=None) -> set:
-    """Which dest names were explicitly present on the command line (parse
-    with every default suppressed)."""
-    p = build_parser()
-    for action in p._actions:
-        action.default = argparse.SUPPRESS
-        action.required = False
-    return set(vars(p.parse_args(argv)).keys())
+    from hpvaegan_tpu.serving import explicit_cli_keys
+    return explicit_cli_keys(build_parser, argv)
 
 
 def main() -> None:
@@ -127,122 +112,24 @@ def main() -> None:
     # auto-load the experiment's resolved config snapshot (VERDICT r1 item
     # 4): `--netG <ckpt>` alone rebuilds the exact training module tree; a
     # mismatched hand-specified tree previously failed only at restore.
-    snap_path = os.path.join(os.path.dirname(args.netG), "config.json")
-    if os.path.isfile(snap_path):
-        import json
-        with open(snap_path) as f:
-            snap = json.load(f)
-        explicit = _explicit_cli_keys()
-        applied = []
-        for key in _SNAPSHOT_KEYS:
-            if key not in snap or key in explicit:
-                continue
-            if key in ("video_path", "image_path") and (
-                    args.video_path or args.image_path):
-                continue  # the user chose a source clip/image
-            value = snap[key]
-            if key == "sampling_rates":
-                value = tuple(value)
-            # the snapshot is written AFTER adjust_scales: restore the
-            # pre-adjust inputs so re-adjusting reproduces the training
-            # pyramid exactly
-            elif key == "scale_factor":
-                value = snap.get("scale_factor_init", value)
-            elif key == "noise_amp":
-                value = snap.get("noise_amp_init", value)
-            setattr(cfg, key, value)
-            applied.append(key)
-        if applied:
-            logging.info(f"config.json snapshot: restored {applied} "
-                         f"from {snap_path}")
+    apply_snapshot(cfg, args.netG, _explicit_cli_keys(),
+                   user_chose_source=bool(args.video_path or args.image_path))
     cfg.adjust_scales()
 
     ndim = 3 if cfg.video_path else 2
     if args.svfid and ndim != 3:
         raise ValueError("--svfid is a video metric (needs --video-path)")
-    if ndim == 3:
-        from hpvaegan_tpu.data import SingleVideoDataset
-        dataset = SingleVideoDataset(cfg)
-        pyramid = dataset.pyramid
-    else:
-        from hpvaegan_tpu.data import SingleImageDataset
-        dataset = SingleImageDataset(cfg)
-        pyramid = dataset.pyramid
 
-    if not os.path.isfile(cfg.netG):
-        raise RuntimeError(f"=> no <G> checkpoint found at '{cfg.netG}'")
-    raw = restore_file(cfg.netG)
-    scale = int(raw["scale"])
-    cfg.scale_idx = scale
-
-    if cfg.generator not in ("GeneratorHPVAEGAN", "GeneratorVAE_nb",
-                             "GeneratorCSG", "GeneratorSG"):
-        raise ValueError(f"unknown generator for generate.py: "
-                         f"{cfg.generator!r}")
-
-    root_key = jax.random.PRNGKey(args.manualSeed)
-    G = make_generator(cfg.generator, cfg, pyramid, ndim=ndim)
-    gvars = G.init(jax.random.fold_in(root_key, 7), batch_size=1)
-    # sampling generator — possibly over an extrapolated pyramid
-    if (args.h_factor, args.w_factor, args.t_factor) != (1.0, 1.0, 1.0):
-        from hpvaegan_tpu.core.pyramid import ScaledPyramid
-        pyramid = ScaledPyramid(pyramid, args.h_factor, args.w_factor,
-                                args.t_factor)
-        G = make_generator(cfg.generator, cfg, pyramid, ndim=ndim)
-    for i in range(scale):
-        gvars = G.init_next_stage(gvars, jax.random.fold_in(root_key, 100 + i))
-    gvars = restore_file(cfg.netG, target={"scale": 0, "gvars": gvars,
-                                           "noise_amps": raw["noise_amps"],
-                                           "opt_g": raw.get("opt_g")}
-                         )["gvars"]
-    amps = jnp.asarray(raw["noise_amps"], jnp.float32)
+    sess = SamplerSession(cfg, batch_size=args.batch_size,
+                          manual_seed=args.manualSeed, h_factor=args.h_factor,
+                          w_factor=args.w_factor, t_factor=args.t_factor,
+                          mesh_shape=args.mesh_shape)
+    dataset, scale = sess.dataset, sess.scale
+    root_key = sess.root_key
 
     out_dir = args.output_dir or os.path.join(os.path.dirname(cfg.netG),
                                               "eval")
     os.makedirs(out_dir, exist_ok=True)
-
-    # HPVAEGAN samples latent-dim noise through the decoder; the CSG/SG
-    # baselines sample image-channel noise (train_video_baselines.py:41)
-    is_triple = getattr(G, "returns_triple", True)
-    noise_ch = cfg.latent_dim if is_triple else cfg.nc_im
-    h0, w0 = pyramid.shape2d(0)
-    if ndim == 3:
-        td0 = pyramid.td(0)
-        noise_shape = (args.batch_size, td0, h0, w0, noise_ch)
-    else:
-        noise_shape = (args.batch_size, h0, w0, noise_ch)
-
-    import functools
-
-    mesh = None
-    if args.mesh_shape:
-        from hpvaegan_tpu.parallel import (make_mesh, parse_mesh_shape,
-                                           shard_batch, shard_gvars)
-        mesh = make_mesh(parse_mesh_shape(args.mesh_shape))
-        gvars = shard_gvars(gvars, mesh)
-
-    @functools.partial(jax.jit, static_argnames=())
-    def sample_fn(gv, noise, key):
-        ret, _ = G.apply(gv, amps, key, noise_init=noise, mode="rand",
-                         train=True)
-        return ret[0] if is_triple else ret
-
-    @functools.partial(jax.jit, static_argnames=())
-    def reconstruct_fn(gv, real_zero, key):
-        if is_triple:
-            (out, _, _), _ = G.apply(gv, amps, key, real_zero=real_zero,
-                                     mode="rec", train=True)
-        else:  # baselines reconstruct from their fixed Z_init noise
-            out, _ = G.apply(gv, amps, key, noise_init=real_zero, mode="rec",
-                             train=True)
-        return out
-
-    @functools.partial(jax.jit, static_argnames=("start",))
-    def inject_fn(gv, x_init, key, start):
-        (out, _, _), _ = G.apply(gv, amps, key, noise_init=jnp.zeros(
-            (x_init.shape[0], *noise_shape[1:])),
-            sample_init=(start, x_init), mode="rand", train=True)
-        return out
 
     def report_svfid(samples):
         """SVFID of generated clips vs the real current-scale clip.
@@ -261,23 +148,16 @@ def main() -> None:
                      f"mean {res['mean']:.4f}  per-sample "
                      f"{[round(s, 4) for s in res['per_sample']]}")
 
-    def write_sample(frame, path_base):
-        """[-1,1] sample -> .avi (3D) or .png (2D)."""
-        if ndim == 3:
-            write_video(frame, path_base + ".avi", pyramid.fps(scale))
-        else:
-            import cv2
-            img = (np.clip(frame, -1, 1) + 1.0) * 127.5
-            cv2.imwrite(path_base + ".png", np.uint8(img[:, :, ::-1]))
+    write_sample = sess.write_sample
 
     if args.inject_scale >= 0:
-        if not is_triple:
+        if not sess.is_triple:
             raise ValueError("--inject-scale requires GeneratorHPVAEGAN")
         s0 = args.inject_scale
-        if s0 >= len(gvars["body"]):
+        if s0 >= len(sess.gvars["body"]):
             raise ValueError(
                 f"--inject-scale {s0} out of range: checkpoint was trained "
-                f"to scale {scale} with {len(gvars['body'])} body stages")
+                f"to scale {scale} with {len(sess.gvars['body'])} body stages")
         if ndim == 3:
             dataset.generate_frames(s0)
             cur, _ = dataset.get(0, hflip=False, scale_idx=s0)
@@ -289,7 +169,7 @@ def main() -> None:
         injected = []
         while produced < args.num_samples:
             key = jax.random.fold_in(root_key, 3000 + batch_idx)
-            out = np.asarray(inject_fn(gvars, x_init, key, s0))
+            out = np.asarray(sess.inject_fn(sess.gvars, x_init, key, s0))
             for b in range(out.shape[0]):
                 if produced >= args.num_samples:
                     break
@@ -308,26 +188,9 @@ def main() -> None:
             report_svfid(injected)
         return
 
-    # rec mode: reconstruct from the real sample's zero-scale clip
-    # (HPVAEGAN) or the checkpointed fixed Z_init noise (CSG/SG baselines,
-    # train_video_baselines.py:38-43)
-    real_zero = real_top = None
+    real_top = None
     if args.mode == "rec":
-        if ndim == 3:
-            dataset.generate_frames(scale)
-            cur, zero = dataset.get(0, hflip=False, scale_idx=scale)
-        else:
-            cur, zero = dataset.get(0, scale, hflip=False)
-        if zero is None:
-            zero = cur
-        real_top = np.stack([cur] * args.batch_size)
-        if is_triple:
-            real_zero = jnp.asarray(np.stack([zero] * args.batch_size))
-        else:
-            z_path = os.path.join(os.path.dirname(cfg.netG), "Z_init")
-            if not os.path.exists(z_path):
-                raise RuntimeError(f"baselines rec mode needs {z_path}")
-            real_zero = jnp.asarray(restore_file(z_path)["data"])
+        _, real_top = sess.rec_input()
 
     produced = 0
     batch_idx = 0
@@ -335,15 +198,9 @@ def main() -> None:
     while produced < args.num_samples:
         key = jax.random.fold_in(root_key, 1000 + batch_idx)
         if args.mode == "rec":
-            out = np.asarray(reconstruct_fn(gvars, real_zero,
-                                            jax.random.fold_in(key, 1)))
+            out = sess.reconstruct_batch(key)
         else:
-            noise = jax.random.normal(key, noise_shape)
-            if mesh is not None:
-                from hpvaegan_tpu.parallel import shard_batch
-                noise = shard_batch(noise, mesh, ndim)
-            out = np.asarray(sample_fn(gvars, noise,
-                                       jax.random.fold_in(key, 1)))
+            out = sess.sample_batch(key)
         for b in range(out.shape[0]):
             if produced >= args.num_samples:
                 break
@@ -357,7 +214,7 @@ def main() -> None:
         from hpvaegan_tpu.eval import diversity_score, reconstruction_psnr
         if args.mode == "rec" and real_top is not None:
             val = reconstruction_psnr(np.stack(all_samples),
-                                      np.stack([real_top[0]] * produced))
+                                      np.stack([real_top] * produced))
             logging.info(f"reconstruction PSNR: {val:.2f} dB")
         else:
             val = diversity_score(np.stack(all_samples))

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Persistent sampling server (``hpvaegan-serve``).
+
+The one-shot ``generate.py`` CLI pays model build + XLA compile
+(~30-260 s on the TPU relay) per invocation; this server pays it ONCE at
+startup — checkpoint restore, module-tree rebuild from the experiment's
+``config.json`` snapshot, jit + warmup — then serves sampling requests at
+device latency (70-250 ms/batch at the full 256 px geometry, BENCHMARKS.md
+"Full-resolution generation throughput").  No serving surface exists in
+the reference (SURVEY.md §1: "no serving layer").
+
+Two transports share one request handler:
+
+* **stdio** (default): one JSON object per stdin line, one JSON response
+  per stdout line.  Composable and test-friendly::
+
+      echo '{"num_samples": 4, "seed": 7}' | \
+          hpvaegan-serve --netG run/clip/DEBUG/experiment_0/netG
+
+* **HTTP** (``--port N``): ``POST /generate`` with the same JSON body;
+  ``GET /healthz`` for liveness.  Stdlib ``ThreadingHTTPServer``; device
+  work is serialized by a lock (one sampler program, deterministic HBM).
+
+Request fields (all optional): ``mode`` ("rand"|"rec", default rand),
+``num_samples`` (default --num-samples), ``seed`` (int; default = a
+per-request counter folded into --manualSeed), ``prefix`` (output file
+name prefix, default the request id).  Responses carry the written file
+paths and the device latency.
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+import threading
+import time
+
+import jax
+
+if "--no-cuda" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+from hpvaegan_tpu.core.config import Config
+from hpvaegan_tpu.serving import SamplerSession, apply_snapshot
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # same model/pyramid/override surface as generate.py (the snapshot
+    # restores training flags; explicit flags win), plus the server knobs
+    from hpvaegan_tpu.cli.generate import build_parser as gen_parser
+    p = gen_parser()
+    p.description = "persistent sampling server (stdio JSON-lines or HTTP)"
+    p.add_argument("--port", type=int, default=0,
+                   help="serve HTTP on this port (default: stdio JSON lines)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--warm", type=str, default="rand",
+                   help="comma-separated modes to pre-compile at startup "
+                        "(rand,rec); empty to skip warmup")
+    return p
+
+
+class Server:
+    """Transport-agnostic request handler around a SamplerSession."""
+
+    def __init__(self, sess: SamplerSession, out_dir: str,
+                 default_num: int, seed0: int):
+        self.sess = sess
+        self.out_dir = out_dir
+        self.default_num = default_num
+        self.seed0 = seed0
+        self.counter = 0
+        self.lock = threading.Lock()  # serialize device work across threads
+        os.makedirs(out_dir, exist_ok=True)
+
+    def info(self) -> dict:
+        return {"ok": True, "event": "ready", "ndim": self.sess.ndim,
+                "scale": self.sess.scale,
+                "batch_size": self.sess.batch_size,
+                "generator": self.sess.cfg.generator,
+                "output_dir": self.out_dir}
+
+    def handle(self, req: dict) -> dict:
+        rid = req.get("id", None)
+        try:
+            with self.lock:
+                return self._handle_locked(req, rid)
+        except Exception as e:  # a bad request must not kill the server
+            return {"id": rid, "ok": False,
+                    "error": f"{type(e).__name__}: {e}"}
+
+    def _handle_locked(self, req: dict, rid) -> dict:
+        mode = req.get("mode", "rand")
+        if mode not in ("rand", "rec"):
+            raise ValueError(f"unknown mode {mode!r} (rand|rec)")
+        num = int(req.get("num_samples", self.default_num))
+        if not 1 <= num <= 4096:
+            raise ValueError(f"num_samples {num} out of range [1, 4096]")
+        self.counter += 1
+        seq = self.counter
+        seed = req.get("seed", None)
+        base_key = (jax.random.PRNGKey(int(seed)) if seed is not None
+                    else jax.random.fold_in(
+                        jax.random.PRNGKey(self.seed0), seq))
+        prefix = str(req.get("prefix", rid if rid is not None else
+                             f"req{seq}"))
+        if os.path.sep in prefix or prefix in ("", ".", ".."):
+            raise ValueError(f"bad prefix {prefix!r}")
+
+        t0 = time.perf_counter()
+        paths = []
+        produced = 0
+        batch_idx = 0
+        while produced < num:
+            key = jax.random.fold_in(base_key, 1000 + batch_idx)
+            if mode == "rec":
+                out = self.sess.reconstruct_batch(key)
+            else:
+                out = self.sess.sample_batch(key)
+            for b in range(out.shape[0]):
+                if produced >= num:
+                    break
+                paths.append(self.sess.write_sample(
+                    out[b],
+                    os.path.join(self.out_dir, f"{prefix}_{produced}")))
+                produced += 1
+            batch_idx += 1
+        latency_ms = (time.perf_counter() - t0) * 1e3
+        return {"id": rid, "ok": True, "mode": mode, "paths": paths,
+                "latency_ms": round(latency_ms, 2)}
+
+
+def serve_stdio(server: Server, in_stream, out_stream) -> None:
+    """One JSON request per line in, one JSON response per line out.
+    A line ``{"shutdown": true}`` (or EOF) stops the server."""
+    print(json.dumps(server.info()), file=out_stream, flush=True)
+    for line in in_stream:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"ok": False, "error": f"bad json: {e}"}),
+                  file=out_stream, flush=True)
+            continue
+        if req.get("shutdown"):
+            print(json.dumps({"ok": True, "event": "shutdown"}),
+                  file=out_stream, flush=True)
+            return
+        print(json.dumps(server.handle(req)), file=out_stream, flush=True)
+
+
+def serve_http(server: Server, host: str, port: int,
+               ready_cb=None) -> None:
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, server.info())
+            else:
+                self._send(404, {"ok": False, "error": "GET /healthz only"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"ok": False,
+                                 "error": "POST /generate only"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception as e:
+                self._send(400, {"ok": False, "error": f"bad json: {e}"})
+                return
+            resp = server.handle(req)
+            self._send(200 if resp.get("ok") else 400, resp)
+
+        def log_message(self, fmt, *args):
+            logging.info("http: " + fmt % args)
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    logging.info(f"serving on http://{host}:{httpd.server_address[1]} "
+                 f"(POST /generate, GET /healthz)")
+    if ready_cb is not None:
+        ready_cb(httpd)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+def main() -> None:
+    from hpvaegan_tpu.serving import explicit_cli_keys
+    parser = build_parser()
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = Config()
+    for key, value in vars(args).items():
+        attr = key.replace("-", "_")
+        if hasattr(cfg, attr):
+            setattr(cfg, attr, tuple(value) if attr == "sampling_rates"
+                    else value)
+    apply_snapshot(cfg, args.netG, explicit_cli_keys(build_parser),
+                   user_chose_source=bool(args.video_path or args.image_path))
+    cfg.adjust_scales()
+
+    sess = SamplerSession(cfg, batch_size=args.batch_size,
+                          manual_seed=args.manualSeed,
+                          h_factor=args.h_factor, w_factor=args.w_factor,
+                          t_factor=args.t_factor, mesh_shape=args.mesh_shape)
+    out_dir = args.output_dir or os.path.join(os.path.dirname(cfg.netG),
+                                              "serve")
+    server = Server(sess, out_dir, default_num=args.num_samples,
+                    seed0=args.manualSeed)
+
+    warm = [m for m in args.warm.split(",") if m]
+    if warm:
+        t0 = time.perf_counter()
+        sess.warmup(warm)
+        logging.info(f"warmup({','.join(warm)}): "
+                     f"{time.perf_counter() - t0:.1f}s")
+
+    if args.port:
+        serve_http(server, args.host, args.port)
+    else:
+        serve_stdio(server, sys.stdin, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()

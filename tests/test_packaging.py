@@ -21,7 +21,8 @@ def test_console_scripts_resolve(pyproject):
     scripts = pyproject["project"]["scripts"]
     assert set(scripts) == {
         "hpvaegan-train-image", "hpvaegan-train-video",
-        "hpvaegan-train-video-baselines", "hpvaegan-generate"}
+        "hpvaegan-train-video-baselines", "hpvaegan-generate",
+        "hpvaegan-serve"}
     for target in scripts.values():
         mod_name, func_name = target.split(":")
         mod = importlib.import_module(mod_name)
@@ -33,6 +34,7 @@ def test_console_scripts_resolve(pyproject):
     ("train_video", "hpvaegan_tpu.cli.train_video"),
     ("train_video_baselines", "hpvaegan_tpu.cli.train_video_baselines"),
     ("generate", "hpvaegan_tpu.cli.generate"),
+    ("serve", "hpvaegan_tpu.cli.serve"),
 ])
 def test_root_shims_reexport_main(shim, cli_mod):
     shim_main = importlib.import_module(shim).main
