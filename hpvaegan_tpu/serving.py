@@ -103,6 +103,11 @@ class SamplerSession:
                  mesh_shape: str = ""):
         self.cfg = cfg
         self.batch_size = int(batch_size)
+        if not cfg.video_path and not cfg.image_path:
+            raise RuntimeError(
+                "no source clip/image configured: pass --video-path/"
+                "--image-path, or keep the training config.json snapshot "
+                "next to the --netG checkpoint")
         ndim = 3 if cfg.video_path else 2
         self.ndim = ndim
 
