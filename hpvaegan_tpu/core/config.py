@@ -111,6 +111,9 @@ class Config:
     remat: bool = False            # jax.checkpoint refinement stages + critic
     remat_blocks: bool = False     # nn.remat each conv block (finer, slower)
     gp_chunked: bool = False       # per-sample WGAN-GP double-backprop (lax.map)
+    watchdog: float = 0.0          # exit 75 if no chunk completes for this
+    #                                many seconds (0 = off); relay wedges
+    #                                become clean resumable exits
     distributed: bool = False      # multi-host jax.distributed.initialize
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
@@ -285,6 +288,12 @@ _COMMON_FLAGS = [
                                  "auto-enabled if remat alone still OOMs)")),
     (["--distributed"], dict(action="store_true", default=False,
                              help="multi-host: jax.distributed.initialize() at startup")),
+    (["--watchdog"], dict(type=float, default=0.0,
+                          help="exit 75 (EX_TEMPFAIL) if no training chunk "
+                               "completes for this many seconds — converts "
+                               "silent TPU-relay wedges into clean exits "
+                               "resumable via --netG (0 = off; pick a value "
+                               "above the cold-compile time, e.g. 1200)")),
 ]
 
 _VIDEO_FLAGS = [

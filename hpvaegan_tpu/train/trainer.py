@@ -160,6 +160,11 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     from ..utils.profiling import StepTimer
     timer = StepTimer(sync_every=max(50, int(getattr(cfg, "scan_steps", 1))))
 
+    # convert silent relay wedges into clean resumable exits (SURVEY §5.3)
+    from ..utils.watchdog import Watchdog
+    watchdog = Watchdog(getattr(cfg, "watchdog", 0.0),
+                        context=f"scale {scale_idx} start").start()
+
     noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else cfg.noise_amp_init
     metrics: Dict[str, Any] = {}
     profiling = False
@@ -306,6 +311,7 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
             it_logged = iteration + k - 1  # last iteration of this chunk
             bar.update(k)
             timer.step(metrics.get("loss"), n=k)
+            watchdog.beat(f"scale {scale_idx} iteration {it_logged + 1}")
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
                 f"Iteration [{it_logged + 1}/{cfg.niter}]" + timer.suffix)
@@ -353,6 +359,7 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
             iteration += k
     finally:
+        watchdog.stop()
         if profiling:
             import jax.profiler as _prof
             _prof.stop_trace()

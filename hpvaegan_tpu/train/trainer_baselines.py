@@ -104,6 +104,11 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
     from ..utils.profiling import StepTimer
     timer = StepTimer()
 
+    # convert silent relay wedges into clean resumable exits (SURVEY §5.3)
+    from ..utils.watchdog import Watchdog
+    watchdog = Watchdog(getattr(cfg, "watchdog", 0.0),
+                        context=f"scale {scale_idx} start").start()
+
     noise_amp = cfg.Noise_Amps[-1] if cfg.Noise_Amps else 1.0
     try:
         for iteration in bar:
@@ -137,6 +142,7 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                 cfg.Z_init, amps, k_step)
 
             timer.step(metrics.get("errG"))
+            watchdog.beat(f"scale {scale_idx} iteration {iteration + 1}")
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
                 f"Iteration [{iteration + 1}/{cfg.niter}]" + timer.suffix)
@@ -167,6 +173,7 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                         summary.visualize_video(cfg, iteration,
                                                 np.asarray(gen), "Generated")
     finally:
+        watchdog.stop()
         loader.close()
         bar.close()
 

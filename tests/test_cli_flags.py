@@ -20,7 +20,7 @@ EXTRA_ALLOWED = {
     "--run-dir", "--profile-dir", "--scan-steps", "--distributed", "--help",
     "--remat", "--remat-blocks", "--gp-chunked",
     "--wpack", "--pconv", "--pconv-all", "--host-loader", "--compile-ahead",
-    "--decode-ahead",
+    "--decode-ahead", "--watchdog",
 }
 
 # shared-Config flags our baselines parser accepts that the reference's
