@@ -27,8 +27,8 @@ if "--no-cuda" in sys.argv:
 import jax.numpy as jnp
 import numpy as np
 
-from hpvaegan_tpu.core.config import Config
-from hpvaegan_tpu.serving import SamplerSession, apply_snapshot
+from hpvaegan_tpu.serving import (SamplerSession, apply_snapshot,
+                                  config_from_cli_args)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -102,12 +102,7 @@ def main() -> None:
     args = build_parser().parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    cfg = Config()
-    for key, value in vars(args).items():
-        attr = key.replace("-", "_")
-        if hasattr(cfg, attr):
-            setattr(cfg, attr, tuple(value) if attr == "sampling_rates"
-                    else value)
+    cfg = config_from_cli_args(args)
 
     # auto-load the experiment's resolved config snapshot (VERDICT r1 item
     # 4): `--netG <ckpt>` alone rebuilds the exact training module tree; a

@@ -40,7 +40,6 @@ import jax
 if "--no-cuda" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
-from hpvaegan_tpu.core.config import Config
 from hpvaegan_tpu.serving import SamplerSession, apply_snapshot
 
 
@@ -79,13 +78,24 @@ class Server:
                 "generator": self.sess.cfg.generator,
                 "output_dir": self.out_dir}
 
-    def handle(self, req: dict) -> dict:
-        rid = req.get("id", None)
+    def handle(self, req) -> dict:
+        """Serve one request dict.  Never raises: bad requests come back
+        ``{"ok": False, "client_error": True}``, server-side faults (disk,
+        XLA/relay) ``{"ok": False, "client_error": False}`` — transports
+        map the flag to their status signalling (HTTP 400 vs 500)."""
+        rid = req.get("id", None) if isinstance(req, dict) else None
         try:
+            if not isinstance(req, dict):
+                raise ValueError(f"request must be a JSON object, "
+                                 f"got {type(req).__name__}")
             with self.lock:
                 return self._handle_locked(req, rid)
-        except Exception as e:  # a bad request must not kill the server
-            return {"id": rid, "ok": False,
+        except (ValueError, TypeError, KeyError) as e:
+            return {"id": rid, "ok": False, "client_error": True,
+                    "error": f"{type(e).__name__}: {e}"}
+        except Exception as e:  # server fault must not kill the server
+            logging.exception("request failed server-side")
+            return {"id": rid, "ok": False, "client_error": False,
                     "error": f"{type(e).__name__}: {e}"}
 
     def _handle_locked(self, req: dict, rid) -> dict:
@@ -143,7 +153,7 @@ def serve_stdio(server: Server, in_stream, out_stream) -> None:
             print(json.dumps({"ok": False, "error": f"bad json: {e}"}),
                   file=out_stream, flush=True)
             continue
-        if req.get("shutdown"):
+        if isinstance(req, dict) and req.get("shutdown"):
             print(json.dumps({"ok": True, "event": "shutdown"}),
                   file=out_stream, flush=True)
             return
@@ -181,7 +191,9 @@ def serve_http(server: Server, host: str, port: int,
                 self._send(400, {"ok": False, "error": f"bad json: {e}"})
                 return
             resp = server.handle(req)
-            self._send(200 if resp.get("ok") else 400, resp)
+            code = 200 if resp.get("ok") else (
+                400 if resp.get("client_error") else 500)
+            self._send(code, resp)
 
         def log_message(self, fmt, *args):
             logging.info("http: " + fmt % args)
@@ -200,17 +212,12 @@ def serve_http(server: Server, host: str, port: int,
 
 
 def main() -> None:
-    from hpvaegan_tpu.serving import explicit_cli_keys
+    from hpvaegan_tpu.serving import config_from_cli_args, explicit_cli_keys
     parser = build_parser()
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    cfg = Config()
-    for key, value in vars(args).items():
-        attr = key.replace("-", "_")
-        if hasattr(cfg, attr):
-            setattr(cfg, attr, tuple(value) if attr == "sampling_rates"
-                    else value)
+    cfg = config_from_cli_args(args)
     apply_snapshot(cfg, args.netG, explicit_cli_keys(build_parser),
                    user_chose_source=bool(args.video_path or args.image_path))
     cfg.adjust_scales()
@@ -224,7 +231,7 @@ def main() -> None:
     server = Server(sess, out_dir, default_num=args.num_samples,
                     seed0=args.manualSeed)
 
-    warm = [m for m in args.warm.split(",") if m]
+    warm = [m.strip() for m in args.warm.split(",") if m.strip()]
     if warm:
         t0 = time.perf_counter()
         sess.warmup(warm)

@@ -25,8 +25,21 @@ from hpvaegan_tpu.core.config import Config
 from hpvaegan_tpu.models.registry import make_generator
 from hpvaegan_tpu.utils.saver import restore_file, write_video
 
-__all__ = ["SNAPSHOT_KEYS", "apply_snapshot", "explicit_cli_keys",
-           "SamplerSession"]
+__all__ = ["SNAPSHOT_KEYS", "apply_snapshot", "config_from_cli_args",
+           "explicit_cli_keys", "SamplerSession"]
+
+
+def config_from_cli_args(args) -> Config:
+    """Overlay parsed CLI args onto a fresh Config (shared by the generate
+    and serve entry points — one place owns the sampling_rates tuple
+    coercion and any future special case)."""
+    cfg = Config()
+    for key, value in vars(args).items():
+        attr = key.replace("-", "_")
+        if hasattr(cfg, attr):
+            setattr(cfg, attr, tuple(value) if attr == "sampling_rates"
+                    else value)
+    return cfg
 
 
 def explicit_cli_keys(build_parser, argv=None) -> set:
@@ -253,10 +266,14 @@ class SamplerSession:
         return path
 
     def warmup(self, modes=("rand",)) -> None:
-        """Pay the XLA compile for the given modes up front (serve startup)."""
+        """Pay the XLA compile for the given modes up front (serve startup).
+        Unknown mode strings raise — a silently skipped warmup would move
+        the 30-260 s compile into the first live request."""
         for mode in modes:
             key = jax.random.fold_in(self.root_key, 999983)
             if mode == "rand":
                 self.sample_batch(key)
             elif mode == "rec":
                 self.reconstruct_batch(key)
+            else:
+                raise ValueError(f"unknown warmup mode {mode!r} (rand|rec)")

@@ -358,8 +358,13 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                                noise_init, k_vis, summary, ndim, iteration)
 
             iteration += k
-    finally:
+    except BaseException:
+        # the checkpoint block below never runs on this path — disarm the
+        # watchdog here so it can't os._exit a process that is busy
+        # handling the real error (or a test suite running in-process)
         watchdog.stop()
+        raise
+    finally:
         if profiling:
             import jax.profiler as _prof
             _prof.stop_trace()
@@ -367,19 +372,27 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
         bar.close()
 
     # ---- end-of-scale checkpoints (train_video.py:246-258) ----
-    saver.save_checkpoint({"data": np.asarray(cfg.Noise_Amps, np.float32)},
-                          "Noise_Amps")
-    saver.save_json({"noise_amps": [float(a) for a in cfg.Noise_Amps],
-                     "scale": scale_idx}, "Noise_Amps.json")
-    saver.save_checkpoint({"scale": scale_idx, "gvars": gvars,
-                           "noise_amps": np.asarray(cfg.Noise_Amps,
-                                                    np.float32),
-                           "opt_g": opt_g}, "netG")
-    if gan_phase:
-        saver.save_checkpoint({"scale": scale_idx, "dvars": dvars,
-                               "opt_d": opt_d}, f"netD_{scale_idx}",
-                              blocking=True)
-    saver.wait()
+    # still under the watchdog: serializing gvars/dvars is a large
+    # device->host fetch through the relay — exactly the wedge-prone
+    # operation the watchdog exists for
+    try:
+        watchdog.beat(f"scale {scale_idx} checkpoint save")
+        saver.save_checkpoint({"data": np.asarray(cfg.Noise_Amps,
+                                                  np.float32)},
+                              "Noise_Amps")
+        saver.save_json({"noise_amps": [float(a) for a in cfg.Noise_Amps],
+                         "scale": scale_idx}, "Noise_Amps.json")
+        saver.save_checkpoint({"scale": scale_idx, "gvars": gvars,
+                               "noise_amps": np.asarray(cfg.Noise_Amps,
+                                                        np.float32),
+                               "opt_g": opt_g}, "netG")
+        if gan_phase:
+            saver.save_checkpoint({"scale": scale_idx, "dvars": dvars,
+                                   "opt_d": opt_d}, f"netD_{scale_idx}",
+                                  blocking=True)
+        saver.wait()
+    finally:
+        watchdog.stop()
     return gvars
 
 

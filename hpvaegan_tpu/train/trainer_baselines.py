@@ -172,23 +172,32 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                                        mode="rec")
                         summary.visualize_video(cfg, iteration,
                                                 np.asarray(gen), "Generated")
+    except BaseException:
+        watchdog.stop()  # checkpoint block below never runs on this path
+        raise
     finally:
-        watchdog.stop()
         loader.close()
         bar.close()
 
     # ---- checkpoints (train_video_baselines.py:200-213)
-    saver.save_checkpoint({"data": cfg.Z_init}, "Z_init")
-    saver.save_checkpoint({"data": np.asarray(cfg.Noise_Amps, np.float32)},
-                          "Noise_Amps")
-    saver.save_json({"noise_amps": [float(a) for a in cfg.Noise_Amps],
-                     "scale": scale_idx}, "Noise_Amps.json")
-    saver.save_checkpoint({"scale": scale_idx, "gvars": gvars,
-                           "noise_amps": np.asarray(cfg.Noise_Amps,
-                                                    np.float32),
-                           "opt_g": opt_g}, "netG")
-    saver.save_checkpoint({"scale": scale_idx, "dvars": dvars,
-                           "opt_d": opt_d}, f"netD_{scale_idx}",
-                          blocking=True)
-    saver.wait()
+    # still under the watchdog: serializing gvars/dvars is a large
+    # device->host fetch through the relay (the wedge-prone operation)
+    try:
+        watchdog.beat(f"scale {scale_idx} checkpoint save")
+        saver.save_checkpoint({"data": cfg.Z_init}, "Z_init")
+        saver.save_checkpoint({"data": np.asarray(cfg.Noise_Amps,
+                                                  np.float32)},
+                              "Noise_Amps")
+        saver.save_json({"noise_amps": [float(a) for a in cfg.Noise_Amps],
+                         "scale": scale_idx}, "Noise_Amps.json")
+        saver.save_checkpoint({"scale": scale_idx, "gvars": gvars,
+                               "noise_amps": np.asarray(cfg.Noise_Amps,
+                                                        np.float32),
+                               "opt_g": opt_g}, "netG")
+        saver.save_checkpoint({"scale": scale_idx, "dvars": dvars,
+                               "opt_d": opt_d}, f"netD_{scale_idx}",
+                              blocking=True)
+        saver.wait()
+    finally:
+        watchdog.stop()
     return gvars

@@ -88,6 +88,38 @@ def test_stdio_bad_requests_keep_serving(server):
     assert good["ok"] and len(good["paths"]) == 1  # server survived
 
 
+def test_stdio_non_object_json_survives(server):
+    """Valid JSON that isn't an object (null, lists) must answer an error,
+    not kill the persistent server (code-review finding)."""
+    ready, a, b, good = _roundtrip(
+        server, 'null\n[1]\n{"num_samples": 1}\n')
+    assert not a["ok"] and a["client_error"]
+    assert not b["ok"] and b["client_error"]
+    assert good["ok"]
+
+
+def test_server_fault_not_client_error(server):
+    """Server-side faults (disk, XLA/relay) are flagged client_error=False
+    so HTTP can answer 500, not 400 (code-review finding)."""
+    orig = server.sess.sample_batch
+
+    def boom(key):
+        raise OSError("disk full")
+
+    server.sess.sample_batch = boom
+    try:
+        resp = server.handle({"num_samples": 1, "prefix": "fault"})
+    finally:
+        server.sess.sample_batch = orig
+    assert not resp["ok"] and resp["client_error"] is False
+    assert "disk full" in resp["error"]
+
+
+def test_warmup_unknown_mode_raises(server):
+    with pytest.raises(ValueError, match="unknown warmup mode"):
+        server.sess.warmup(("rnad",))
+
+
 def test_seed_determinism(server):
     a = server.handle({"num_samples": 2, "seed": 11, "prefix": "da"})
     b = server.handle({"num_samples": 2, "seed": 11, "prefix": "db"})
