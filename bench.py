@@ -269,7 +269,7 @@ def get_baseline() -> float:
     return value
 
 
-def main() -> None:
+def measure_and_print() -> None:
     ours = bench_ours()
     baseline = get_baseline()
     # "mode" disambiguates the measurement semantics (ADVICE r1): "fast" =
@@ -284,6 +284,72 @@ def main() -> None:
         "vs_baseline": round(ours / baseline, 2),
         "mode": "parity" if parity else "fast",
     }))
+
+
+def _inner_cmd() -> list:
+    return [sys.executable, os.path.abspath(__file__)]
+
+
+def run_with_wedge_guard() -> None:
+    """Wedge-proof the driver contract: the axon relay can WEDGE silently
+    mid device call (observed live this round — the client futex-blocks
+    with zero CPU indefinitely; see CLAUDE.md).  Run the measurement in a
+    child process and watch its stderr log stream: no new output for
+    BENCH_STALL_S seconds (default 420 s, comfortably above the ~260 s
+    cold remote compile, whose client side is also silent/zero-CPU) means
+    a wedge -> kill the child and retry once in a fresh process, the
+    documented mitigation.  The one-JSON-line stdout contract is forwarded
+    verbatim from the successful attempt; stderr streams through live."""
+    import subprocess
+    import threading
+
+    stall_s = float(os.environ.get("BENCH_STALL_S", "420"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+    env = dict(os.environ, _BENCH_INNER="1")
+    for attempt in range(1, attempts + 1):
+        proc = subprocess.Popen(_inner_cmd(), stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True, env=env)
+        last = [time.monotonic()]
+
+        def pump(stream=proc.stderr):
+            for line in stream:
+                last[0] = time.monotonic()
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        pump_t = threading.Thread(target=pump, daemon=True)
+        pump_t.start()
+        wedged = False
+        while True:
+            try:
+                proc.wait(timeout=5)
+                break
+            except subprocess.TimeoutExpired:
+                if time.monotonic() - last[0] > stall_s:
+                    wedged = True
+                    proc.kill()
+                    proc.wait()
+                    break
+        pump_t.join(timeout=5)
+        out = proc.stdout.read() if proc.stdout else ""
+        line = next((ln for ln in out.splitlines()
+                     if ln.startswith("{")), None)
+        if not wedged and proc.returncode == 0 and line:
+            print(line)
+            return
+        reason = (f"stalled: no output for {stall_s:.0f}s (relay wedge)"
+                  if wedged else f"failed (rc={proc.returncode})")
+        log(f"[bench] attempt {attempt}/{attempts} {reason}"
+            + ("; retrying in a fresh process" if attempt < attempts
+               else "; giving up"))
+    raise SystemExit(75)
+
+
+def main() -> None:
+    if os.environ.get("_BENCH_INNER") == "1":
+        measure_and_print()
+    else:
+        run_with_wedge_guard()
 
 
 if __name__ == "__main__":
