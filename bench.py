@@ -256,16 +256,23 @@ def bench_reference(warmup: int = 1, iters: int = 3) -> float:
 
 def get_baseline() -> float:
     if os.path.exists(CACHE):
-        with open(CACHE) as f:
-            data = json.load(f)
-        if data.get("fingerprint") == FINGERPRINT:
-            return data["iters_per_sec"]
+        try:
+            with open(CACHE) as f:
+                data = json.load(f)
+            if data.get("fingerprint") == FINGERPRINT:
+                return data["iters_per_sec"]
+        except (json.JSONDecodeError, KeyError, OSError) as e:
+            # a SIGKILL mid-write (wedge-guard kill) can truncate the cache;
+            # fall through and re-measure instead of failing the retry
+            log(f"[bench] baseline cache unreadable ({e}); re-measuring")
     value = bench_reference()
-    with open(CACHE, "w") as f:
+    tmp = CACHE + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"fingerprint": FINGERPRINT, "iters_per_sec": value,
                    "note": "reference PyTorch (unmodified, imported from "
                            "/root/reference) on this host's CPU; the "
                            "reference has no TPU support"}, f, indent=1)
+    os.replace(tmp, CACHE)  # atomic: never leaves a truncated cache
     return value
 
 
@@ -310,15 +317,26 @@ def run_with_wedge_guard() -> None:
         proc = subprocess.Popen(_inner_cmd(), stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE, text=True, env=env)
         last = [time.monotonic()]
+        out_lines: list = []
 
-        def pump(stream=proc.stderr):
+        def pump_err(stream=proc.stderr):
             for line in stream:
                 last[0] = time.monotonic()
                 sys.stderr.write(line)
                 sys.stderr.flush()
 
-        pump_t = threading.Thread(target=pump, daemon=True)
-        pump_t.start()
+        # stdout must be drained WHILE the child runs too: an unread pipe
+        # fills at ~64KB and blocks the child's writes, which would read as
+        # log silence and misdiagnose a healthy run as a wedge (ADVICE r2)
+        def pump_out(stream=proc.stdout):
+            for line in stream:
+                last[0] = time.monotonic()
+                out_lines.append(line)
+
+        pumps = [threading.Thread(target=pump_err, daemon=True),
+                 threading.Thread(target=pump_out, daemon=True)]
+        for t in pumps:
+            t.start()
         wedged = False
         while True:
             try:
@@ -330,16 +348,24 @@ def run_with_wedge_guard() -> None:
                     proc.kill()
                     proc.wait()
                     break
-        pump_t.join(timeout=5)
-        out = proc.stdout.read() if proc.stdout else ""
-        line = next((ln for ln in out.splitlines()
-                     if ln.startswith("{")), None)
+        for t in pumps:
+            t.join(timeout=5)
+        line = next((ln for ln in out_lines if ln.startswith("{")), None)
         if not wedged and proc.returncode == 0 and line:
-            print(line)
+            print(line, end="" if line.endswith("\n") else "\n")
             return
-        reason = (f"stalled: no output for {stall_s:.0f}s (relay wedge)"
-                  if wedged else f"failed (rc={proc.returncode})")
-        log(f"[bench] attempt {attempt}/{attempts} {reason}"
+        if not wedged:
+            # deterministic inner failure: exit 75 is reserved for
+            # transient/resumable relay wedges — propagate the child's own
+            # code (or 1 for rc=0-but-no-JSON) and don't waste a retry on a
+            # reproducible bug (ADVICE r2)
+            rc = proc.returncode or 1
+            log(f"[bench] inner run failed deterministically "
+                f"(rc={proc.returncode}, json_line={bool(line)}); "
+                f"propagating rc={rc}")
+            raise SystemExit(rc)
+        log(f"[bench] attempt {attempt}/{attempts} stalled: no output for "
+            f"{stall_s:.0f}s (relay wedge)"
             + ("; retrying in a fresh process" if attempt < attempts
                else "; giving up"))
     raise SystemExit(75)

@@ -18,10 +18,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get(
         "HPVAEGAN_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "hpvaegan_xla"))
-    os.makedirs(path, exist_ok=True)
     try:
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
-        pass  # older jax without these flags
+        pass  # unwritable cache dir, or older jax without these flags —
+        # degrade to no-cache rather than failing the caller (entry() has
+        # no filesystem dependency of its own)
