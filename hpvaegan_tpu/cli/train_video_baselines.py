@@ -19,7 +19,7 @@ from hpvaegan_tpu.models.registry import make_generator
 from hpvaegan_tpu.train.trainer_baselines import train_scale_baselines
 from hpvaegan_tpu.utils import (LoggingBlock, TensorboardSummary, VideoSaver,
                                 configure_logging)
-from hpvaegan_tpu.utils.saver import restore_file
+from hpvaegan_tpu.utils.saver import apply_resume, restore_file
 
 
 def main() -> None:
@@ -69,20 +69,7 @@ def main() -> None:
     gvars = G.init(jax.random.fold_in(root_key, 7), batch_size=1)
 
     if cfg.netG != "":
-        if not os.path.isfile(cfg.netG):
-            raise RuntimeError(f"=> no <G> checkpoint found at '{cfg.netG}'")
-        raw = restore_file(cfg.netG)
-        cfg.scale_idx = int(raw["scale"])
-        cfg.resumed_idx = int(raw["scale"])
-        cfg.resume_dir = os.path.dirname(cfg.netG)
-        for i in range(cfg.scale_idx):
-            gvars = G.init_next_stage(gvars)
-        gvars = restore_file(cfg.netG,
-                             target={"scale": 0, "gvars": gvars,
-                                     "noise_amps": raw["noise_amps"],
-                                     "opt_g": raw.get("opt_g")})["gvars"]
-        amps = restore_file(os.path.join(cfg.resume_dir, "Noise_Amps"))["data"]
-        cfg.Noise_Amps = [float(a) for a in amps]
+        gvars = apply_resume(cfg, G, gvars)  # baselines grow without a key
         # Conscious fix of a reference resume bug: the reference regenerates
         # a fresh Z_init on resume (train_video_baselines.py:38-43), breaking
         # the fixed-reconstruction-noise contract — reload the original.

@@ -98,6 +98,9 @@ class Config:
     wpack: bool = False            # width-packed convs at large scales
     pconv: bool = False            # packed-lane Pallas conv kernel (critic)
     pconv_all: bool = False        # ...generator stages too (measured slower)
+    pfuse: bool = False            # fuse critic-body conv+lrelu PAIRS in one
+    #                                Pallas kernel (intermediate stays in
+    #                                VMEM; ops/pallas/conv3d_fuse.py)
     host_loader: bool = False      # host prefetch pipeline instead of the
     #                                device-resident frame cache
     profile_dir: str = ""          # jax.profiler trace output dir
@@ -114,6 +117,9 @@ class Config:
     watchdog: float = 0.0          # exit 75 if no chunk completes for this
     #                                many seconds (0 = off); relay wedges
     #                                become clean resumable exits
+    save_interval: int = 0         # intra-scale checkpoint every N iterations
+    #                                (netG_mid: params + BOTH optimizer states
+    #                                + iteration; 0 = end-of-scale only)
     distributed: bool = False      # multi-host jax.distributed.initialize
     mesh_shape: str = ""           # e.g. "2x4" -> ('data','spatial') mesh
     spmd: bool = False             # shard the train step over the mesh
@@ -134,6 +140,7 @@ class Config:
     scale_idx: int = 0
     resumed_idx: int = -1
     resume_dir: str = ""
+    resume_iteration: int = 0      # >0: resume mid-scale from this iteration
     Noise_Amps: List[float] = dataclasses.field(default_factory=list)
 
     # non-serializable runtime attachments (saver, summary, dataset, ...)
@@ -180,7 +187,7 @@ class Config:
         self.scale_factor = adj.scale_factor
         if self.stop_scale_time == -1:
             self.stop_scale_time = self.stop_scale
-        if self.spmd and (self.pconv or self.pconv_all):
+        if self.spmd and (self.pconv or self.pconv_all or self.pfuse):
             # pallas_call has no SPMD partitioning rule: under a sharded
             # step XLA would all-gather the critic activations around the
             # kernel, silently destroying the spatial sharding --spmd asks
@@ -191,6 +198,7 @@ class Config:
                 "partition over the mesh); disabling pconv for this run")
             self.pconv = False
             self.pconv_all = False
+            self.pfuse = False
 
 
 _COMMON_FLAGS = [
@@ -251,6 +259,12 @@ _COMMON_FLAGS = [
                            help="also route generator-stage convs through the "
                                 "packed kernel (measured slower at scale 9 — "
                                 "expert/experiment knob)")),
+    (["--pfuse"], dict(action="store_true", default=False,
+                       help="fuse consecutive critic-body conv+lrelu PAIRS "
+                            "into one Pallas kernel with the intermediate "
+                            "activation resident in VMEM (no inter-conv HBM "
+                            "round-trip; ops/pallas/conv3d_fuse.py); the "
+                            "WGAN-GP term keeps XLA's double-backprop")),
     (["--host-loader"], dict(action="store_true", default=False,
                              dest="host_loader",
                              help="feed batches through the prefetching "
@@ -294,6 +308,14 @@ _COMMON_FLAGS = [
                                "silent TPU-relay wedges into clean exits "
                                "resumable via --netG (0 = off; pick a value "
                                "above the cold-compile time, e.g. 1200)")),
+    (["--save-interval"], dict(type=int, default=0, dest="save_interval",
+                               help="write an intra-scale checkpoint "
+                                    "(netG_mid: generator + critic + both "
+                                    "optimizer states + iteration) every N "
+                                    "iterations; resume with --netG "
+                                    ".../netG_mid restores mid-scale instead "
+                                    "of replaying the whole scale (0 = "
+                                    "end-of-scale checkpoints only)")),
 ]
 
 _VIDEO_FLAGS = [

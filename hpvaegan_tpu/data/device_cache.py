@@ -104,43 +104,65 @@ class DeviceCacheLoader:
     """
 
     def __init__(self, dataset, batch_size: int, seed: int, scale_idx: int,
-                 sharding=None):
+                 sharding=None, start_iteration: int = 0):
         """``sharding``: optional placement for the frame stores — under
         --spmd pass a replicated NamedSharding(mesh, P()) so the in-step
         gather output feeds the step's (data, spatial) sharding
-        constraints from every device."""
+        constraints from every device.
+
+        ``start_iteration``: first iteration index of the draw stream —
+        mid-scale resume (--save-interval / --netG .../netG_mid) passes
+        the restored iteration so the resumed run consumes exactly the
+        batches the uninterrupted run would have (draws are a pure
+        function of (seed, iteration), see _row)."""
         views = dataset.device_cache_views(scale_idx)
         (cur_store, zero_store, self._n_start, self._gather_kw) = views
         self._cur = jax.device_put(jnp.asarray(cur_store), sharding)
         self._zero = jax.device_put(jnp.asarray(zero_store), sharding)
         self._is_video = "td" in self._gather_kw
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
+        self._seed = int(seed)
         self.hflip = bool(self._gather_kw.pop("hflip"))
         self._data_rep_len = self._gather_kw.pop("virtual_len")
-        self._perm: Optional[np.ndarray] = None
-        self._pos = 0
+        self._it = int(start_iteration)
+        self._epoch_cache: Optional[Tuple[int, np.ndarray]] = None
 
-    # -- BatchLoader-compatible index stream semantics (loader.py:39-55) --
-    def _next_indices(self, k: int) -> np.ndarray:
+    # -- index stream: BatchLoader-equivalent SEMANTICS (shuffled epochs,
+    # drop_last, with-replacement fallback for tiny datasets,
+    # loader.py:39-55) re-keyed as a PURE FUNCTION of the iteration index,
+    # so a mid-scale resume at iteration i replays the identical stream the
+    # uninterrupted run consumed from i on (data ORDER vs the stateful host
+    # loader differs, as documented in the module docstring; VALUES are the
+    # same distribution/contract either way) --
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        if self._epoch_cache is not None and self._epoch_cache[0] == epoch:
+            return self._epoch_cache[1]
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=self._seed,
+                                   spawn_key=(0xE90C, epoch)))
+        perm = rng.permutation(self._data_rep_len)
+        self._epoch_cache = (epoch, perm)
+        return perm
+
+    def _row(self, it: int) -> Tuple[np.ndarray, np.ndarray]:
+        """((B,) int32 start indices, (B,) bool flips) for iteration
+        ``it`` — deterministic in (seed, it)."""
         n = self._data_rep_len
         if n <= 0:
             raise ValueError("dataset is empty")
-        need = k * self.batch_size
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=self._seed, spawn_key=(it,)))
         if n < self.batch_size:
-            flat = self.rng.integers(0, n, need)
+            flat = rng.integers(0, n, self.batch_size)
         else:
-            out = []
-            while len(out) < need:
-                if self._perm is None or self._pos + self.batch_size > \
-                        len(self._perm) - (len(self._perm) % self.batch_size):
-                    self._perm = self.rng.permutation(n)
-                    self._pos = 0
-                out.extend(self._perm[self._pos:self._pos + self.batch_size])
-                self._pos += self.batch_size
-            flat = np.asarray(out[:need])
-        return (flat % self._n_start).astype(np.int32).reshape(
-            k, self.batch_size)
+            per_epoch = n // self.batch_size  # drop_last: full batches only
+            perm = self._epoch_perm(it // per_epoch)
+            slot = (it % per_epoch) * self.batch_size
+            flat = perm[slot:slot + self.batch_size]
+        idxs = (flat % self._n_start).astype(np.int32)
+        flips = rng.random(self.batch_size) < 0.5 if self.hflip \
+            else np.zeros(self.batch_size, bool)
+        return idxs, flips
 
     # -- fused-path accessors (train/steps.py scan-cache steps) --
     @property
@@ -154,13 +176,14 @@ class DeviceCacheLoader:
 
     def draw(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Host-side randomness only: ((k, B) int32 start indices,
-        (k, B, 1...) bool flips) for one chunk."""
-        idxs = self._next_indices(k)
+        (k, B, 1...) bool flips) for the chunk covering iterations
+        [self._it, self._it + k) — advances the iteration counter."""
+        rows = [self._row(self._it + j) for j in range(k)]
+        self._it += k
+        idxs = np.stack([r[0] for r in rows])
         trail = (1,) * (4 if self._is_video else 3)
-        if self.hflip:
-            flips = self.rng.random((k, self.batch_size) + trail) < 0.5
-        else:
-            flips = np.zeros((k, self.batch_size) + trail, bool)
+        flips = np.stack([r[1] for r in rows]).reshape(
+            (k, self.batch_size) + trail)
         return idxs, flips
 
     def gather_rows(self, idxs, flips) -> Tuple[jax.Array, jax.Array]:

@@ -66,6 +66,23 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
         h0, w0 = pyramid.shape2d(0)
         cfg.Z_init_size = [cfg.batch_size, h0, w0, cfg.latent_dim]
 
+    # ---- mid-scale resume (--save-interval checkpoints): the CLI stashes
+    # the raw netG_mid payload; gvars were already restored there.  The
+    # optimizer states and critic are restored below INSTEAD of being built
+    # fresh / warm-started, and the loop starts at the saved iteration —
+    # extends the reference's per-scale resume granularity
+    # (train_video.py:399-416) without changing the fresh-Adam-per-scale
+    # semantics at scale boundaries.
+    mid_raw = None
+    start_it = 0
+    if cfg.resumed_idx == scale_idx and getattr(cfg, "_mid_raw", None) \
+            is not None:
+        mid_raw = cfg._mid_raw
+        cfg._mid_raw = None  # consumed: later scales start fresh
+        start_it = min(int(cfg.resume_iteration), cfg.niter)
+
+    import flax.serialization as _fser
+
     # ---- critic (GAN phase only; warm start, train_video.py:44-55) ----
     D = dvars = tx_d = opt_d = None
     if gan_phase:
@@ -75,7 +92,9 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                         (cfg.batch_size, *pyramid.shape2d(scale_idx), cfg.nc_im))
         dvars = init_discriminator(D, jax.random.fold_in(key, 101),
                                    sample_shape)
-        if cfg.netG != "" and cfg.resumed_idx == scale_idx:
+        if mid_raw is not None:
+            dvars = _fser.from_state_dict(dvars, mid_raw["dvars"])
+        elif cfg.netG != "" and cfg.resumed_idx == scale_idx:
             dvars = saver.load_checkpoint(f"netD_{scale_idx - 1}",
                                           target={"scale": 0, "dvars": dvars},
                                           directory=cfg.resume_dir)["dvars"]
@@ -84,6 +103,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                                           target={"scale": 0, "dvars": dvars}
                                           )["dvars"]
         tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+        if mid_raw is not None:
+            opt_d = _fser.from_state_dict(opt_d, mid_raw["opt_d"])
 
     # ---- generator optimizer (fresh per scale, train_video.py:57-88) ----
     pview = gparams_view(gvars)
@@ -91,6 +112,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
         cfg, scale_idx, len(gvars["body"]))
     tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
                                     lrs, cfg.grad_clip)
+    if mid_raw is not None:
+        opt_g = _fser.from_state_dict(opt_g, mid_raw["opt_g"])
 
     # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB) ----
     place = mesh = None
@@ -120,7 +143,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
         loader = DeviceCacheLoader(
             dataset, cfg.batch_size,
             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-            scale_idx=scale_idx, sharding=store_sharding)
+            scale_idx=scale_idx, sharding=store_sharding,
+            start_iteration=start_it)
         gather = loader.sample_gather()
     else:
         loader = BatchLoader(dataset, cfg.batch_size,
@@ -155,6 +179,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     bar = create_progressbar(
         total=cfg.niter,
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
+    if start_it:
+        bar.update(start_it)  # resumed progress
 
     # honest throughput through the async-dispatch relay (SURVEY §5.1)
     from ..utils.profiling import StepTimer
@@ -171,7 +197,9 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
     profile_done = False
     profile_start = 0
     scan_k = max(1, int(getattr(cfg, "scan_steps", 1)))
-    iteration = 0
+    save_interval = int(getattr(cfg, "save_interval", 0))
+    iteration = start_it
+    real = real_zero = None
     try:
         while iteration < cfg.niter:
             # optional XLA trace of a chunk-aligned steady-state window of
@@ -193,7 +221,10 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
             k_noise, k_step, k_vis = jax.random.split(it_key, 3)
 
             # ---- iteration-0 noise-amp calibration (train_video.py:131-145)
-            if iteration == 0:
+            # (on mid-scale resume start_it > 0: the amp was calibrated
+            # before the first netG_mid was written, so the reuse branch
+            # always takes it from cfg.Noise_Amps)
+            if iteration == start_it:
                 real, real_zero = next(loader)
                 if len(cfg.Noise_Amps) >= scale_idx + 1:
                     # Resuming a scale whose amp was already calibrated:
@@ -217,7 +248,7 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                                  / cfg.batch_size)
                     cfg.Noise_Amps[-1] = noise_amp
 
-            if iteration == 0:  # amps are fixed after calibration: build
+            if iteration == start_it:  # amps fixed after calibration: build
                 amps = jnp.asarray(cfg.Noise_Amps, jnp.float32)  # once
 
             # ---- chunk size: scan k iterations per dispatch, stopping at
@@ -229,7 +260,7 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 k = max(1, min(k, next_boundary - iteration))
 
             if k == 1:
-                if iteration > 0:
+                if iteration > start_it:
                     real, real_zero = next(loader)
                 noise_init = jax.random.normal(k_noise,
                                                tuple(cfg.Z_init_size))
@@ -269,7 +300,7 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                     noise_init = jax.random.normal(k_noise,
                                                    tuple(cfg.Z_init_size))
             else:
-                first = (real, real_zero) if iteration == 0 else None
+                first = (real, real_zero) if iteration == start_it else None
                 reals, rzs = _load_chunk(loader, k, first)
                 # per-iteration keys/noise built in ONE vmapped dispatch
                 # each (numerically identical to the k-loop of
@@ -312,6 +343,26 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
             bar.update(k)
             timer.step(metrics.get("loss"), n=k)
             watchdog.beat(f"scale {scale_idx} iteration {it_logged + 1}")
+
+            # ---- intra-scale checkpoint (--save-interval): one atomic
+            # netG_mid file carrying params + BOTH optimizer states + the
+            # iteration counter, so a wedge/preemption near the end of a
+            # multi-hour scale costs at most save_interval iterations
+            # instead of the whole scale (SURVEY §5.3/5.4 extension; the
+            # reference only checkpoints at scale boundaries,
+            # train_video.py:246-258)
+            if save_interval > 0 and iteration + k < cfg.niter and \
+                    (iteration + k) // save_interval > \
+                    iteration // save_interval:
+                watchdog.beat(f"scale {scale_idx} mid checkpoint "
+                              f"(iteration {iteration + k})")
+                saver.save_checkpoint(
+                    {"scale": scale_idx, "iteration": iteration + k,
+                     "gvars": gvars, "opt_g": opt_g,
+                     "dvars": dvars if gan_phase else {},
+                     "opt_d": opt_d if gan_phase else {},
+                     "noise_amps": np.asarray(cfg.Noise_Amps, np.float32)},
+                    "netG_mid")
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
                 f"Iteration [{it_logged + 1}/{cfg.niter}]" + timer.suffix)

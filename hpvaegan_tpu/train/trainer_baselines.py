@@ -37,11 +37,26 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
             (cfg.batch_size, cfg.td, h0, w0, cfg.nc_im))
         saver.save_checkpoint({"data": cfg.Z_init}, "Z_init")
 
+    # ---- mid-scale resume (--save-interval): same contract as trainer.py —
+    # the CLI stashed the netG_mid payload (gvars already restored there);
+    # critic + both optimizer states are restored below and the loop starts
+    # at the saved iteration.
+    import flax.serialization as _fser
+    mid_raw = None
+    start_it = 0
+    if cfg.resumed_idx == scale_idx and getattr(cfg, "_mid_raw", None) \
+            is not None:
+        mid_raw = cfg._mid_raw
+        cfg._mid_raw = None
+        start_it = min(int(cfg.resume_iteration), cfg.niter)
+
     # ---- critic always exists; warm start (train_video_baselines.py:45-48)
     D = make_discriminator(cfg.discriminator, cfg, 3)
     sample_shape = (cfg.batch_size, *pyramid.shape3d(scale_idx), cfg.nc_im)
     dvars = init_discriminator(D, jax.random.fold_in(key, 101), sample_shape)
-    if scale_idx > 0:
+    if mid_raw is not None:
+        dvars = _fser.from_state_dict(dvars, mid_raw["dvars"])
+    elif scale_idx > 0:
         # Conscious fix of a reference resume bug: the reference always warm
         # starts from the CURRENT experiment dir (train_video_baselines.py:
         # 46-48), which doesn't exist when resuming into a fresh experiment —
@@ -56,6 +71,8 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                                       target={"scale": 0, "dvars": dvars},
                                       directory=directory)["dvars"]
     tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
+    if mid_raw is not None:
+        opt_d = _fser.from_state_dict(opt_d, mid_raw["opt_d"])
 
     # ---- generator optimizer (train_video_baselines.py:55-70)
     pview = gparams_view(gvars)
@@ -64,6 +81,8 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
         cfg, scale_idx, len(gvars["body"]), has_head)
     tx_g, opt_g = build_g_optimizer(cfg, pview, module_labels, body_labels,
                                     lrs, grad_clip=None)
+    if mid_raw is not None:
+        opt_g = _fser.from_state_dict(opt_g, mid_raw["opt_g"])
 
     # ---- optional SPMD over the device mesh (--spmd --mesh-shape AxB),
     # same wiring as trainer.py ----
@@ -91,13 +110,15 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
         loader = DeviceCacheLoader(
             dataset, cfg.batch_size,
             seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-            scale_idx=scale_idx, sharding=store_sharding)
+            scale_idx=scale_idx, sharding=store_sharding,
+            start_iteration=start_it)
     else:
         loader = BatchLoader(dataset, cfg.batch_size,
                              seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
                              scale_idx=scale_idx, device=place)
     bar = create_progressbar(
-        iterable=range(cfg.niter),
+        iterable=range(start_it, cfg.niter), initial=start_it,
+        total=cfg.niter,
         desc=f"Training scale [{scale_idx + 1}/{cfg.stop_scale + 1}]")
 
     # honest throughput through the async-dispatch relay (SURVEY §5.1)
@@ -121,7 +142,9 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
             if place is not None:
                 noise_init = place(noise_init)
 
-            if iteration == 0:
+            if iteration == start_it:
+                # on mid-scale resume start_it > 0 the amp was calibrated
+                # before the first netG_mid existed -> the reuse branch
                 if len(cfg.Noise_Amps) >= scale_idx + 1:
                     noise_amp = float(cfg.Noise_Amps[scale_idx])  # resume
                 elif scale_idx == 0:
@@ -143,6 +166,21 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
 
             timer.step(metrics.get("errG"))
             watchdog.beat(f"scale {scale_idx} iteration {iteration + 1}")
+
+            # ---- intra-scale checkpoint (--save-interval), same contract
+            # as trainer.py: one atomic netG_mid with params + both
+            # optimizer states + iteration
+            si = int(getattr(cfg, "save_interval", 0))
+            if si > 0 and iteration + 1 < cfg.niter \
+                    and (iteration + 1) % si == 0:
+                watchdog.beat(f"scale {scale_idx} mid checkpoint "
+                              f"(iteration {iteration + 1})")
+                saver.save_checkpoint(
+                    {"scale": scale_idx, "iteration": iteration + 1,
+                     "gvars": gvars, "opt_g": opt_g, "dvars": dvars,
+                     "opt_d": opt_d,
+                     "noise_amps": np.asarray(cfg.Noise_Amps, np.float32)},
+                    "netG_mid")
             bar.set_description(
                 f"Scale [{scale_idx + 1}/{cfg.stop_scale + 1}], "
                 f"Iteration [{iteration + 1}/{cfg.niter}]" + timer.suffix)

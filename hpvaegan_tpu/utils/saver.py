@@ -33,7 +33,7 @@ import jax
 import numpy as np
 
 __all__ = ["Saver", "VideoSaver", "ImageSaver", "write_video",
-           "restore_file"]
+           "restore_file", "apply_resume"]
 
 
 def restore_file(path: str, target: Any = None) -> Any:
@@ -45,6 +45,48 @@ def restore_file(path: str, target: Any = None) -> Any:
     if target is None:
         return flax.serialization.msgpack_restore(data)
     return flax.serialization.from_bytes(target, data)
+
+
+def apply_resume(cfg, G, gvars: Any, root_key=None) -> Any:
+    """--netG resume shared by the three trainer CLIs: growth replay
+    (init_next_stage × checkpointed scale) then payload restore into the
+    rebuilt structure.
+
+    Handles both checkpoint kinds:
+    - end-of-scale ``netG`` (reference semantics, train_video.py:399-416:
+      the checkpointed scale is re-trained from iteration 0; noise amps
+      come from the sibling ``Noise_Amps`` file, falling back to the
+      payload's own copy);
+    - intra-scale ``netG_mid`` (--save-interval) whose payload additionally
+      carries ``iteration`` + both optimizer states + the critic — those
+      are stashed on cfg for train_scale to restore, so the scale resumes
+      mid-flight with optimizer state and the data/RNG streams intact.
+    """
+    import jax
+
+    if not os.path.isfile(cfg.netG):
+        raise RuntimeError(f"=> no <G> checkpoint found at '{cfg.netG}'")
+    raw = restore_file(cfg.netG)
+    cfg.scale_idx = int(raw["scale"])
+    cfg.resumed_idx = int(raw["scale"])
+    cfg.resume_dir = os.path.dirname(cfg.netG)
+    for i in range(cfg.scale_idx):
+        if root_key is not None:
+            gvars = G.init_next_stage(gvars,
+                                      jax.random.fold_in(root_key, 100 + i))
+        else:  # baselines generators grow without an RNG arg
+            gvars = G.init_next_stage(gvars)
+    gvars = flax.serialization.from_state_dict(gvars, raw["gvars"])
+    if "iteration" in raw:  # netG_mid: resume mid-scale
+        cfg.resume_iteration = int(raw["iteration"])
+        cfg._mid_raw = raw
+        cfg.Noise_Amps = [float(a) for a in raw["noise_amps"]]
+    else:
+        amps_path = os.path.join(cfg.resume_dir, "Noise_Amps")
+        amps = (restore_file(amps_path)["data"]
+                if os.path.exists(amps_path) else raw["noise_amps"])
+        cfg.Noise_Amps = [float(a) for a in amps]
+    return gvars
 
 
 def _to_host(tree: Any) -> Any:

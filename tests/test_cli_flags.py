@@ -19,8 +19,8 @@ EXTRA_ALLOWED = {
     "--bf16", "--fast-grads", "--fused-forwards", "--mesh-shape", "--spmd",
     "--run-dir", "--profile-dir", "--scan-steps", "--distributed", "--help",
     "--remat", "--remat-blocks", "--gp-chunked",
-    "--wpack", "--pconv", "--pconv-all", "--host-loader", "--compile-ahead",
-    "--decode-ahead", "--watchdog",
+    "--wpack", "--pconv", "--pconv-all", "--pfuse", "--host-loader",
+    "--compile-ahead", "--decode-ahead", "--watchdog", "--save-interval",
 }
 
 # shared-Config flags our baselines parser accepts that the reference's
