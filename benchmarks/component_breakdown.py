@@ -74,6 +74,7 @@ cfg.wpack = os.environ.get("WPACK", "0") == "1"
 _pconv_mode = os.environ.get("PCONV", "0")
 cfg.pconv = _pconv_mode in ("1", "2")
 cfg.pconv_all = _pconv_mode == "2"
+cfg.pfuse = os.environ.get("PFUSE", "0") == "1"  # fused critic conv pairs
 cfg.adjust_scales()
 cfg.ar = 1.0
 cfg.scale_idx = SCALE

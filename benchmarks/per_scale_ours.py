@@ -1,7 +1,7 @@
 """Per-scale train-step throughput, ours on 1 TPU chip, default config.
 
 Usage: [NDIM=2] [REMAT=1] [REMAT_BLOCKS=1] [GPCHUNK=0|1|2] [FAST=1] [BF16=1]
-       [FUSED=1] [PCONV=1] [SCAN=K] [BS=N] python benchmarks/per_scale_ours.py [scales...]
+       [FUSED=1] [PCONV=1] [PFUSE=1] [SCAN=K] [BS=N] python benchmarks/per_scale_ours.py [scales...]
 Numbers recorded in BENCHMARKS.md "Per-scale train-step throughput".
 NDIM=2 measures the 2D image pipeline (train_image.py workload); default
 is the 3D video pipeline.
@@ -55,6 +55,7 @@ for SCALE in SCALES:
     cfg.bf16 = _os.environ.get("BF16", "0") == "1"
     cfg.fused_forwards = _os.environ.get("FUSED", "0") == "1"
     cfg.pconv = _os.environ.get("PCONV", "0") == "1"
+    cfg.pfuse = _os.environ.get("PFUSE", "0") == "1"
     SCAN = int(_os.environ.get("SCAN", "1"))
     NDIM = int(_os.environ.get("NDIM", "3"))
     cfg.adjust_scales()

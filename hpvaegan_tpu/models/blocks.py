@@ -267,9 +267,15 @@ class SNConv(nn.Module):
     act: Optional[str] = "lrelu"
     dtype: Any = None
     pconv: bool = False
+    defer: bool = False      # return (normalized kernel, bias) instead of
+    #                          applying the conv — the fused conv-pair path
+    #                          (models/networks.py WDiscriminator + ops/
+    #                          pallas/conv3d_fuse.py) consumes the weights
+    #                          while keeping THIS module's variable tree
+    #                          (checkpoints stay interchangeable)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         kernel_spatial = (self.ker_size,) * self.ndim
         in_features = x.shape[-1]
         kshape = (*kernel_spatial, in_features, self.features)
@@ -292,6 +298,9 @@ class SNConv(nn.Module):
 
         sigma = spectral_sigma(kernel, u_var.value, v_var.value)
         kernel_n = kernel / sigma
+
+        if self.defer:
+            return kernel_n, bias
 
         if (self.pconv and self.ndim == 3 and self.ker_size == 3
                 and self.stride == 1 and self.padding == 1

@@ -234,6 +234,19 @@ class WDiscriminator(nn.Module):
     ndim: int = 2
     dtype: Any = None
     pconv: bool = False
+    pfuse: bool = False     # fuse consecutive body conv+lrelu PAIRS into
+    #                         the multi-conv VMEM kernel (ops/pallas/
+    #                         conv3d_fuse.py); odd trailing block falls
+    #                         back to the single-conv path (pconv or lax)
+
+    def _pfuse_applies(self, x) -> bool:
+        if not (self.pfuse and self.ndim == 3 and self.ker_size == 3
+                and self.nfc == 64):
+            return False
+        from ..ops.pallas.conv3d_fuse import pfuse_ok, pfuse_wins
+        kshape = (3, 3, 3, 64, 64)
+        return pfuse_ok(x.shape, kshape, dtype=self.dtype) \
+            and pfuse_wins(x.shape)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
@@ -242,10 +255,29 @@ class WDiscriminator(nn.Module):
         pad = self.ker_size // 2
         x = SNC(self.nfc, self.ker_size, pad, self.ndim, dtype=self.dtype,
                 name="head")(x)
-        for i in range(self.num_layer):
-            x = SNC(self.nfc, self.ker_size, pad, self.ndim,
-                    dtype=self.dtype, pconv=self.pconv,
-                    name=f"block{i}")(x)
+        fuse_pairs = self._pfuse_applies(x)
+        i = 0
+        while i < self.num_layer:
+            if fuse_pairs and i + 1 < self.num_layer:
+                # both SNConv modules are declared with their usual names
+                # (identical variable tree to the sequential path); defer
+                # returns the normalized weights and the fused kernel
+                # applies conv+lrelu twice with the intermediate in VMEM
+                from ..ops.pallas.conv3d_fuse import conv3d64_pair
+                w1, b1 = SNC(self.nfc, self.ker_size, pad, self.ndim,
+                             dtype=self.dtype, defer=True,
+                             name=f"block{i}")(x)
+                w2, b2 = SNC(self.nfc, self.ker_size, pad, self.ndim,
+                             dtype=self.dtype, defer=True,
+                             name=f"block{i + 1}")(x)
+                xq = x if self.dtype is None else x.astype(self.dtype)
+                x = conv3d64_pair(xq, w1, b1, w2, b2)
+                i += 2
+            else:
+                x = SNC(self.nfc, self.ker_size, pad, self.ndim,
+                        dtype=self.dtype, pconv=self.pconv,
+                        name=f"block{i}")(x)
+                i += 1
         x = Tail(1, self.ker_size, 1, self.ndim, dtype=self.dtype,
                  name="tail")(x)
         return x

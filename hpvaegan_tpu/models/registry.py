@@ -42,7 +42,8 @@ def make_discriminator(name: str, cfg, ndim: int):
         return WDiscriminator(nfc=cfg.nfc, ker_size=cfg.ker_size,
                               num_layer=cfg.num_layer, ndim=ndim, dtype=dtype,
                               pconv=(getattr(cfg, "pconv", False)
-                                     or getattr(cfg, "pconv_all", False)))
+                                     or getattr(cfg, "pconv_all", False)),
+                              pfuse=getattr(cfg, "pfuse", False))
     if name == "WDiscriminatorBaselines":
         return WDiscriminatorBaselines(nfc=cfg.nfc, nc_im=cfg.nc_im,
                                        ker_size=cfg.ker_size,

@@ -271,7 +271,9 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             # kernel's recursive custom_vjp (BENCHMARKS.md r2 pconv A/B:
             # gp_grads 307 -> 471 ms), so the penalty term always runs the
             # lax critic; variable trees are identical by construction
-            D_gp = D.clone(pconv=False) if getattr(D, "pconv", False) else D
+            D_gp = (D.clone(pconv=False, pfuse=False)
+                    if getattr(D, "pconv", False)
+                    or getattr(D, "pfuse", False) else D)
             gp = calc_gradient_penalty(
                 lambda x: apply_disc(D_gp, dv, x, train=True, remat=use_remat, cfg=cfg)[0],
                 real, fake, lambda_grad, k_gp,
