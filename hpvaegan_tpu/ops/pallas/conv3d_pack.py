@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3d64", "conv3d64_pallas", "pconv_ok", "pconv_wins",
-           "build_w2"]
+__all__ = ["conv3d64", "conv3d64_pallas", "conv3d64_dw_pallas", "pconv_ok",
+           "pconv_wins", "build_w2"]
 
 _VMEM_BUDGET = 9 * 1024 * 1024
 
@@ -242,6 +242,135 @@ def conv3d64_pallas(x: jnp.ndarray, w: jnp.ndarray, b=None,
     return yp.reshape(B, T, H, W, C)
 
 
+def _dw_kernel(*refs, t_total: int, h_total: int, hb: int, wg: int):
+    """Weight-gradient: dW2[dt, dh] += patch(dt, dh)^T @ dy_tile, i.e. the
+    forward kernel's matmul with the contraction moved to the row axis —
+    the packed dW2 (3, 3, 384, 128) accumulates in VMEM across the whole
+    grid (constant out index map) and is unpacked to (3,3,3,64,64) by the
+    adjoint of build_w2 outside the kernel."""
+    (tap_m1, tap_0, tap_p1, top_m1, top_0, top_p1, bot_m1, bot_0, bot_p1,
+     dy_ref, out_ref, win_ref, patch_ref) = refs
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    hbi = pl.program_id(2)
+    row0 = hbi * hb
+
+    @pl.when(jnp.logical_and(jnp.logical_and(bi == 0, ti == 0), hbi == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    taps = (tap_m1, tap_0, tap_p1)
+    tops = (top_m1, top_0, top_p1)
+    bots = (bot_m1, bot_0, bot_p1)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hb, wg), 0) + row0
+    zcol = jnp.zeros((hb + 2, 1, 128), dtype=win_ref.dtype)
+    dyf = dy_ref[0, 0].reshape(hb * wg, 128)
+    # ragged last H block: zero the out-of-range dy rows so they cannot
+    # contribute (the forward masks its INPUT window; dw must mask the
+    # cotangent rows too).  where(), not multiply: ragged out-of-bounds
+    # reads can be NaN, and NaN * 0 stays NaN.  The mask is built directly
+    # in the flattened (hb*wg, 1) shape — Mosaic can't reshape a 2D
+    # vector into a (N, 1) column.
+    flat = jax.lax.broadcasted_iota(jnp.int32, (hb * wg, 1), 0)
+    dy_ok = (row0 + flat // wg < h_total).astype(jnp.float32)
+    dyf = jnp.where(dy_ok > 0, dyf, 0)
+
+    for dt in range(3):
+        if dt == 0:
+            t_ok = ti >= 1
+        elif dt == 2:
+            t_ok = ti < t_total - 1
+        else:
+            t_ok = ti >= 0
+        body = taps[dt][0, 0]
+        body_ok = jnp.logical_and(t_ok, rows < h_total).astype(
+            jnp.float32)[:, :, None]
+        win_ref[1:hb + 1, 1:wg + 1] = jnp.where(body_ok > 0, body, 0)
+        top_ok = jnp.logical_and(t_ok, row0 >= 1)
+        win_ref[0:1, 1:wg + 1] = jnp.where(top_ok, tops[dt][0, 0], 0)
+        bot_ok = jnp.logical_and(t_ok, row0 + hb < h_total)
+        win_ref[hb + 1:hb + 2, 1:wg + 1] = jnp.where(bot_ok, bots[dt][0, 0],
+                                                     0)
+        win_ref[:, 0:1] = zcol
+        win_ref[:, wg + 1:wg + 2] = zcol
+        for dh in range(3):
+            for g in range(3):
+                patch_ref[:, :, g * 128:(g + 1) * 128] = \
+                    win_ref[dh:dh + hb, g:g + wg]
+            out_ref[dt, dh] += jax.lax.dot_general(
+                patch_ref[:].reshape(hb * wg, 384), dyf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
+def conv3d64_dw_pallas(x: jnp.ndarray, dy: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Packed-lane weight gradient: dw of lax.conv(x, w, SAME) wrt w given
+    cotangent dy, keeping the patch windows in VMEM (no HBM patch
+    materialization).  Returns (3, 3, 3, 64, 64) in f32."""
+    B, T, H, W, C = x.shape
+    assert pconv_ok(x.shape, (3, 3, 3, 64, 64), dtype=x.dtype)
+    wg_n = W // 2
+    esize = 2 if x.dtype == jnp.bfloat16 else 4
+    hb = _pick_hb(H, wg_n, esize)
+    n_hb = pl.cdiv(H, hb)
+
+    xp = x.reshape(B, T, H, wg_n, 128)
+    dyp = dy.astype(x.dtype).reshape(B, T, H, wg_n, 128)
+
+    def tap(dt):
+        return pl.BlockSpec(
+            (1, 1, hb, wg_n, 128),
+            lambda bi, ti, hbi, dt=dt: (bi, jnp.clip(ti + dt, 0, T - 1),
+                                        hbi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def halo(dt, where):
+        def imap(bi, ti, hbi, dt=dt, where=where):
+            if where == "top":
+                r = jnp.clip(hbi * hb - 1, 0, H - 1)
+            else:
+                r = jnp.clip(hbi * hb + hb, 0, H - 1)
+            return (bi, jnp.clip(ti + dt, 0, T - 1), r, 0, 0)
+        return pl.BlockSpec((1, 1, 1, wg_n, 128), imap,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [tap(-1), tap(0), tap(1)]
+    in_specs += [halo(dt, "top") for dt in (-1, 0, 1)]
+    in_specs += [halo(dt, "bot") for dt in (-1, 0, 1)]
+    in_specs += [pl.BlockSpec((1, 1, hb, wg_n, 128),
+                              lambda bi, ti, hbi: (bi, ti, hbi, 0, 0),
+                              memory_space=pltpu.VMEM)]
+
+    dW2 = pl.pallas_call(
+        functools.partial(_dw_kernel, t_total=T, h_total=H, hb=hb, wg=wg_n),
+        grid=(B, T, n_hb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, 3, 384, 128),
+                               lambda bi, ti, hbi: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, 384, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hb + 2, wg_n + 2, 128), x.dtype),
+            pltpu.VMEM((hb, wg_n, 384), x.dtype),
+        ],
+        interpret=interpret or INTERPRET,
+    )(xp, xp, xp, xp, xp, xp, xp, xp, xp, dyp)
+
+    # unpack: build_w2 is linear in w, so dw = its VJP applied to dW2
+    zero_w = jnp.zeros((3, 3, 3, 64, 64), jnp.float32)
+    _, vjp = jax.vjp(lambda w: build_w2(w, jnp.float32), zero_w)
+    (dw,) = vjp(dW2)
+    return dw
+
+
+# module switch for the dw path of conv3d64's backward: False = XLA's
+# correlation (the r2-measured split), True = the packed-lane kernel above.
+# Benchmarks A/B via PCONV_DW=1; flipped by config when it wins.
+DW_PALLAS = _os.environ.get("PCONV_DW", "") == "1"
+
+
 def _flip_swap(w: jnp.ndarray) -> jnp.ndarray:
     """Kernel of the transposed (input-gradient) conv: taps flipped on all
     three spatial axes, in/out channels swapped."""
@@ -274,11 +403,14 @@ def _bwd(res, dy):
     dyc = dy.astype(x.dtype)
     dx = conv3d64(dyc, _flip_swap(w),
                   jnp.zeros((w.shape[-2],), dtype=b.dtype))
-    _, vjp = jax.vjp(
-        lambda wk: jax.lax.conv_general_dilated(
-            x, wk.astype(x.dtype), (1, 1, 1), "SAME",
-            dimension_numbers=_dn(x.shape, w.shape)), w)
-    (dw,) = vjp(dyc)
+    if DW_PALLAS:
+        dw = conv3d64_dw_pallas(x, dyc).astype(w.dtype)
+    else:
+        _, vjp = jax.vjp(
+            lambda wk: jax.lax.conv_general_dilated(
+                x, wk.astype(x.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=_dn(x.shape, w.shape)), w)
+        (dw,) = vjp(dyc)
     db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(b.dtype)
     return dx.astype(dy.dtype), dw, db
 

@@ -176,3 +176,64 @@ def test_stage_module_pconv_parity():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
     mx = max(jax.tree_util.tree_leaves(errs))
     assert mx < 5e-3, (mx, errs)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-3),
+                                       (jnp.bfloat16, 5e-2)])
+def test_dw_kernel_matches_xla(dtype, tol):
+    """Packed-lane weight gradient (conv3d64_dw_pallas) vs XLA's
+    correlation, incl. the build_w2-adjoint unpack."""
+    x, w, b = _inputs(dtype)
+    dy = (jax.random.normal(jax.random.PRNGKey(7), x.shape) * 0.3).astype(
+        dtype)
+
+    def conv_w(wk):
+        dn = jax.lax.conv_dimension_numbers(x.shape, wk.shape,
+                                            ("NTHWC", "THWIO", "NTHWC"))
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), wk, (1, 1, 1), "SAME",
+            dimension_numbers=dn)
+
+    _, vjp = jax.vjp(conv_w, w.astype(jnp.float32))
+    (ref,) = vjp(dy.astype(jnp.float32))
+    got = cp.conv3d64_dw_pallas(x, dy)
+    scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < tol * scale, err
+
+
+def test_dw_kernel_ragged_h():
+    """H not a multiple of the block: out-of-range dy rows must not
+    contribute to the accumulated dW."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 3, 11, 8, 64))
+    dy = jax.random.normal(jax.random.fold_in(key, 1), x.shape)
+    if not cp.pconv_ok(x.shape, (3, 3, 3, 64, 64)):
+        pytest.skip("shape below kernel minimum")
+
+    def conv_w(wk):
+        dn = jax.lax.conv_dimension_numbers(x.shape, (3, 3, 3, 64, 64),
+                                            ("NTHWC", "THWIO", "NTHWC"))
+        return jax.lax.conv_general_dilated(
+            x, wk, (1, 1, 1), "SAME", dimension_numbers=dn)
+
+    _, vjp = jax.vjp(conv_w, jnp.zeros((3, 3, 3, 64, 64)))
+    (ref,) = vjp(dy)
+    got = cp.conv3d64_dw_pallas(x, dy)
+    scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-3 * scale
+
+
+def test_dw_pallas_switch_in_bwd(monkeypatch):
+    """DW_PALLAS=True routes conv3d64's weight grad through the kernel —
+    first-order dw must stay exact through the custom_vjp."""
+    x, w, b = _inputs()
+
+    def loss(x, w, b):
+        return jnp.sum(jnp.sin(cp.conv3d64(x, w, b)))
+
+    ref = jax.grad(loss, 1)(x, w, b)
+    monkeypatch.setattr(cp, "DW_PALLAS", True)
+    got = jax.grad(loss, 1)(x, w, b)
+    scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-3 * scale
