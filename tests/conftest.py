@@ -18,6 +18,26 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules dominated by XLA compiles / e2e trainer runs / subprocesses
+# (measured with --durations on the 1-core host).  `-m "not slow"` runs
+# the remaining unit/parity suite in a few minutes; the full suite is
+# unchanged.  New e2e-style modules should be added here (or use
+# ``pytestmark = pytest.mark.slow`` in the file).
+_SLOW_MODULES = {
+    "test_train_e2e", "test_train_video_e2e", "test_precompile",
+    "test_sharding", "test_pconv", "test_pfuse", "test_wpack",
+    "test_device_cache", "test_svfid_cli", "test_remat", "test_serve",
+    "test_fast_grads", "test_learning", "test_fused_forwards",
+    "test_watchdog", "test_distributed", "test_oom_fallback",
+    "test_bench_guard", "test_save_interval",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
