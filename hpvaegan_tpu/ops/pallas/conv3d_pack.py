@@ -365,10 +365,39 @@ def conv3d64_dw_pallas(x: jnp.ndarray, dy: jnp.ndarray,
     return dw
 
 
-# module switch for the dw path of conv3d64's backward: False = XLA's
-# correlation (the r2-measured split), True = the packed-lane kernel above.
-# Benchmarks A/B via PCONV_DW=1; flipped by config when it wins.
-DW_PALLAS = _os.environ.get("PCONV_DW", "") == "1"
+# dw path of conv3d64's backward: True (default) = the packed-lane kernel
+# above — a reproducible +1.6% scale-9 step win over XLA's correlation
+# (0.748/0.748 vs 0.736 it/s across fresh processes, BENCHMARKS.md r3);
+# PCONV_DW=0 restores the r2 XLA split for A/Bs.
+DW_PALLAS = _os.environ.get("PCONV_DW", "1") == "1"
+
+
+def _dw_xla(x, dy):
+    """XLA-correlation weight gradient — the differentiable reference
+    formulation (vjp of the linear conv w.r.t. its kernel)."""
+    _, vjp = jax.vjp(
+        lambda wk: jax.lax.conv_general_dilated(
+            x, wk.astype(x.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=_dn(x.shape, (3, 3, 3, 64, 64))),
+        jnp.zeros((3, 3, 3, 64, 64), jnp.float32))
+    (dw,) = vjp(dy.astype(x.dtype))
+    return dw
+
+
+@jax.custom_jvp
+def _dw(x, dy):
+    return conv3d64_dw_pallas(x, dy)
+
+
+@_dw.defjvp
+def _dw_jvp(primals, tangents):
+    """dw(x, dy) is bilinear: its tangent is the XLA correlation of each
+    tangent against the other primal.  This keeps reverse-over-reverse
+    (the WGAN-GP composition in tests; the production GP always uses the
+    lax critic) differentiable through the raw pallas dw call."""
+    x, dy = primals
+    tx, tdy = tangents
+    return _dw(x, dy), _dw_xla(tx, dy) + _dw_xla(x, tdy)
 
 
 def _flip_swap(w: jnp.ndarray) -> jnp.ndarray:
@@ -404,7 +433,7 @@ def _bwd(res, dy):
     dx = conv3d64(dyc, _flip_swap(w),
                   jnp.zeros((w.shape[-2],), dtype=b.dtype))
     if DW_PALLAS:
-        dw = conv3d64_dw_pallas(x, dyc).astype(w.dtype)
+        dw = _dw(x, dyc).astype(w.dtype)
     else:
         _, vjp = jax.vjp(
             lambda wk: jax.lax.conv_general_dilated(

@@ -225,13 +225,14 @@ def test_dw_kernel_ragged_h():
 
 
 def test_dw_pallas_switch_in_bwd(monkeypatch):
-    """DW_PALLAS=True routes conv3d64's weight grad through the kernel —
-    first-order dw must stay exact through the custom_vjp."""
+    """Both dw routes of conv3d64's backward (XLA correlation vs the
+    packed kernel — the r3 default) must agree through the custom_vjp."""
     x, w, b = _inputs()
 
     def loss(x, w, b):
         return jnp.sum(jnp.sin(cp.conv3d64(x, w, b)))
 
+    monkeypatch.setattr(cp, "DW_PALLAS", False)
     ref = jax.grad(loss, 1)(x, w, b)
     monkeypatch.setattr(cp, "DW_PALLAS", True)
     got = jax.grad(loss, 1)(x, w, b)
