@@ -28,7 +28,7 @@ def main() -> None:
     parser = build_parser("image")
     cfg = config_from_args(parser.parse_args())
 
-    from hpvaegan_tpu.parallel import maybe_initialize
+    from hpvaegan_tpu.parallel import maybe_initialize, multihost
     maybe_initialize(cfg.distributed)
 
     assert cfg.vae_levels > 0
@@ -38,6 +38,12 @@ def main() -> None:
     if cfg.data_rep < cfg.batch_size:
         cfg.data_rep = cfg.batch_size
 
+    # multi-host: one agreed seed, one experiment dir, process-0-only writes
+    if cfg.manualSeed is None:
+        cfg.manualSeed = random.randint(1, 10000)
+    cfg.manualSeed = multihost.agree(cfg.manualSeed)
+    primary = multihost.is_primary()
+
     saver = ImageSaver(cfg)
 
     # Optional neptune.ai routing when the client is importable and --tag is
@@ -45,7 +51,7 @@ def main() -> None:
     # hardcodes a third-party project name; we read NEPTUNE_PROJECT instead
     # (documented deviation, PARITY.md).
     neptune_exp = None
-    if cfg.tag and os.environ.get("NEPTUNE_PROJECT"):
+    if primary and cfg.tag and os.environ.get("NEPTUNE_PROJECT"):
         try:
             import neptune
             neptune.init(project_qualified_name=os.environ["NEPTUNE_PROJECT"])
@@ -55,14 +61,14 @@ def main() -> None:
         except Exception as e:  # unavailable client/network: fall back to TB
             logging.warning(f"neptune disabled: {e}")
             neptune_exp = None
-    summary = TensorboardSummary(saver.experiment_dir,
-                                 neptune_exp=neptune_exp)
-    configure_logging(os.path.join(saver.experiment_dir, "logbook.txt"))
+    summary = (TensorboardSummary(saver.experiment_dir,
+                                  neptune_exp=neptune_exp)
+               if primary else None)
+    configure_logging(os.path.join(saver.experiment_dir, "logbook.txt")
+                      if primary else None)
 
     cfg.adjust_scales()
 
-    if cfg.manualSeed is None:
-        cfg.manualSeed = random.randint(1, 10000)
     logging.info(f"Random Seed: {cfg.manualSeed}")
     root_key = jax.random.PRNGKey(cfg.manualSeed)
 
@@ -106,7 +112,8 @@ def main() -> None:
                             ndim=2)
         cfg.scale_idx += 1
 
-    summary.close()
+    if summary is not None:
+        summary.close()
     # cleanly finalize the neptune experiment (ADVICE r1: the reference
     # relies on the legacy client's atexit flush and never stops it)
     if neptune_exp is not None:

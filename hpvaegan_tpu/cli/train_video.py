@@ -28,20 +28,27 @@ def main() -> None:
     parser = build_parser("video")
     cfg = config_from_args(parser.parse_args())
 
-    from hpvaegan_tpu.parallel import maybe_initialize
+    from hpvaegan_tpu.parallel import maybe_initialize, multihost
     maybe_initialize(cfg.distributed)
 
     assert cfg.vae_levels > 0
     assert cfg.disc_loss_weight > 0
 
+    # multi-host: the run is defined by ONE seed (every data/RNG stream
+    # derives from it — parallel/multihost.py), one experiment dir, and
+    # process-0-only writes
+    if cfg.manualSeed is None:
+        cfg.manualSeed = random.randint(1, 10000)
+    cfg.manualSeed = multihost.agree(cfg.manualSeed)
+
     saver = VideoSaver(cfg)
-    summary = TensorboardSummary(saver.experiment_dir)
-    configure_logging(os.path.join(saver.experiment_dir, "logbook.txt"))
+    primary = multihost.is_primary()
+    summary = TensorboardSummary(saver.experiment_dir) if primary else None
+    configure_logging(os.path.join(saver.experiment_dir, "logbook.txt")
+                      if primary else None)
 
     cfg.adjust_scales()
 
-    if cfg.manualSeed is None:
-        cfg.manualSeed = random.randint(1, 10000)
     logging.info(f"Random Seed: {cfg.manualSeed}")
     root_key = jax.random.PRNGKey(cfg.manualSeed)
 
@@ -98,7 +105,8 @@ def main() -> None:
                             ndim=3)
         cfg.scale_idx += 1
 
-    summary.close()
+    if summary is not None:
+        summary.close()
 
 
 if __name__ == "__main__":

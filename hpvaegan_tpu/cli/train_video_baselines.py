@@ -26,17 +26,22 @@ def main() -> None:
     parser = build_parser("video_baselines")
     cfg = config_from_args(parser.parse_args())
 
-    from hpvaegan_tpu.parallel import maybe_initialize
+    from hpvaegan_tpu.parallel import maybe_initialize, multihost
     maybe_initialize(cfg.distributed)
 
+    # multi-host: one agreed seed, one experiment dir, process-0-only writes
+    if cfg.manualSeed is None:
+        cfg.manualSeed = random.randint(1, 10000)
+    cfg.manualSeed = multihost.agree(cfg.manualSeed)
+    primary = multihost.is_primary()
+
     saver = VideoSaver(cfg)
-    summary = TensorboardSummary(saver.experiment_dir)
-    configure_logging(os.path.join(saver.experiment_dir, "logbook.txt"))
+    summary = TensorboardSummary(saver.experiment_dir) if primary else None
+    configure_logging(os.path.join(saver.experiment_dir, "logbook.txt")
+                      if primary else None)
 
     cfg.adjust_scales()
 
-    if cfg.manualSeed is None:
-        cfg.manualSeed = random.randint(1, 10000)
     logging.info(f"Random Seed: {cfg.manualSeed}")
     root_key = jax.random.PRNGKey(cfg.manualSeed)
 
@@ -99,7 +104,8 @@ def main() -> None:
                                       root_key)
         cfg.scale_idx += 1
 
-    summary.close()
+    if summary is not None:
+        summary.close()
 
 
 if __name__ == "__main__":

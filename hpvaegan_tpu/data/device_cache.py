@@ -115,10 +115,14 @@ class DeviceCacheLoader:
         the restored iteration so the resumed run consumes exactly the
         batches the uninterrupted run would have (draws are a pure
         function of (seed, iteration), see _row)."""
+        from ..parallel.multihost import global_put
         views = dataset.device_cache_views(scale_idx)
         (cur_store, zero_store, self._n_start, self._gather_kw) = views
-        self._cur = jax.device_put(jnp.asarray(cur_store), sharding)
-        self._zero = jax.device_put(jnp.asarray(zero_store), sharding)
+        # multi-host safe: every process decodes the identical store (same
+        # clip, same pyramid), so global_put can assemble the replicated
+        # global array from local shards
+        self._cur = global_put(jnp.asarray(cur_store), sharding)
+        self._zero = global_put(jnp.asarray(zero_store), sharding)
         self._is_video = "td" in self._gather_kw
         self.batch_size = batch_size
         self._seed = int(seed)

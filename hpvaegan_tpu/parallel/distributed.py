@@ -31,6 +31,18 @@ def maybe_initialize(enable: bool,
     import jax
 
     if enable:
+        # explicit args > HPVAEGAN_* env launcher contract > jax
+        # auto-detection (Cloud TPU pods / SLURM / k8s).  The env form is
+        # how a plain multi-machine launch (and the two-process CLI e2e
+        # test) names the ring without a recognized cluster manager:
+        #   HPVAEGAN_COORDINATOR=host0:1234 HPVAEGAN_NUM_PROCESSES=2 \
+        #   HPVAEGAN_PROCESS_ID=<i> python train_video.py --distributed ...
+        import os
+        if coordinator_address is None \
+                and os.environ.get("HPVAEGAN_COORDINATOR"):
+            coordinator_address = os.environ["HPVAEGAN_COORDINATOR"]
+            num_processes = int(os.environ["HPVAEGAN_NUM_PROCESSES"])
+            process_id = int(os.environ["HPVAEGAN_PROCESS_ID"])
         kwargs = {}
         if coordinator_address is not None:
             kwargs = dict(coordinator_address=coordinator_address,

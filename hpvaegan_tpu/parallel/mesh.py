@@ -126,14 +126,18 @@ _probe_callbacks: list = []
 
 
 def shard_batch(x: jax.Array, mesh: Mesh, ndim_spatial: int) -> jax.Array:
+    from .multihost import global_put
     spec = batch_spec(mesh, ndim_spatial, x.shape)
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    return global_put(x, NamedSharding(mesh, spec))
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params, optimizer state) over the whole mesh."""
+    """Replicate a pytree (params, optimizer state) over the whole mesh
+    (multi-host safe: every process holds an identical local copy by the
+    shared-seed construction, parallel/multihost.py)."""
+    from .multihost import global_put
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+    return jax.tree_util.tree_map(lambda a: global_put(a, sharding), tree)
 
 
 def replicated_sharding(mesh: Optional[Mesh]) -> Optional[NamedSharding]:

@@ -40,6 +40,20 @@ def _load_chunk(loader, k: int, first=None):
             jnp.stack([b[1] for b in batches]))
 
 
+def _warm_start_dvars(saver, scale_idx: int, dvars, directory):
+    """Critic warm start from the previous scale's checkpoint
+    (train_video.py:50-52).  Multi-host: only process 0 reads the file
+    (it is the only writer, utils/saver.py), then the payload is broadcast
+    into every process's structure-matching fresh ``dvars`` — no shared
+    filesystem required on non-primary hosts."""
+    from ..parallel import multihost
+    if multihost.is_primary():
+        dvars = saver.load_checkpoint(f"netD_{scale_idx - 1}",
+                                      target={"scale": 0, "dvars": dvars},
+                                      directory=directory)["dvars"]
+    return multihost.broadcast_pytree(dvars)
+
+
 def init_discriminator(D, key: jax.Array, sample_shape) -> Dict[str, Any]:
     x = jnp.zeros(sample_shape)
     try:
@@ -95,13 +109,10 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
         if mid_raw is not None:
             dvars = _fser.from_state_dict(dvars, mid_raw["dvars"])
         elif cfg.netG != "" and cfg.resumed_idx == scale_idx:
-            dvars = saver.load_checkpoint(f"netD_{scale_idx - 1}",
-                                          target={"scale": 0, "dvars": dvars},
-                                          directory=cfg.resume_dir)["dvars"]
+            dvars = _warm_start_dvars(saver, scale_idx, dvars,
+                                      cfg.resume_dir)
         elif cfg.vae_levels < scale_idx:
-            dvars = saver.load_checkpoint(f"netD_{scale_idx - 1}",
-                                          target={"scale": 0, "dvars": dvars}
-                                          )["dvars"]
+            dvars = _warm_start_dvars(saver, scale_idx, dvars, None)
         tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
         if mid_raw is not None:
             opt_d = _fser.from_state_dict(opt_d, mid_raw["opt_d"])
@@ -368,6 +379,10 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                 f"Iteration [{it_logged + 1}/{cfg.niter}]" + timer.suffix)
 
             # ---- TensorBoard (train_video.py:210-241) ----
+            # scalar writes are primary-only (summary is None elsewhere);
+            # the sample grids below run their dispatches + fetches on
+            # EVERY process (collective under --distributed) with only the
+            # TB write itself gated inside _visualize
             if cfg.visualize and summary is not None:
                 # the reference uses 'Video/Scale {s}' tags in BOTH trainers
                 # (train_image.py:227 quirk) — kept.  Every iteration of a
@@ -404,9 +419,9 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                         summary.add_scalar(f"{tag}/errD_real",
                                            get("errD_real", j), it_j)
 
-                if iteration % cfg.print_interval == 0:
-                    _visualize(cfg, G, gvars, dispatch, amps, real, real_zero,
-                               noise_init, k_vis, summary, ndim, iteration)
+            if cfg.visualize and iteration % cfg.print_interval == 0:
+                _visualize(cfg, G, gvars, dispatch, amps, real, real_zero,
+                           noise_init, k_vis, summary, ndim, iteration)
 
             iteration += k
     except BaseException:
@@ -442,6 +457,11 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                                    "opt_d": opt_d}, f"netD_{scale_idx}",
                                   blocking=True)
         saver.wait()
+        # multi-host: keep processes in lockstep at scale boundaries (no
+        # process may start re-jitting the next scale's programs while
+        # process 0 is still flushing checkpoints)
+        from ..parallel.multihost import barrier
+        barrier(f"end_of_scale_{scale_idx}")
     finally:
         watchdog.stop()
     return gvars
@@ -449,7 +469,11 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
 
 def _visualize(cfg, G, gvars, dispatch, amps, real, real_zero, noise_init,
                key, summary, ndim: int, iteration: int) -> None:
-    """3 independent rand-mode samples -> grids (train_video.py:225-241)."""
+    """3 independent rand-mode samples -> grids (train_video.py:225-241).
+
+    Runs on EVERY process (the sample/reconstruct dispatches and the
+    cross-process batch replication in ``fetch`` are collectives); only
+    the TB writes are primary-only (``summary is None`` elsewhere)."""
     fakes, fake_vaes = [], []
     for i in range(3):
         k = jax.random.fold_in(key, i)
@@ -463,9 +487,16 @@ def _visualize(cfg, G, gvars, dispatch, amps, real, real_zero, noise_init,
     generated, generated_vae = dispatch("reconstruct", gvars, real_zero,
                                         amps, jax.random.fold_in(key, 7))
 
+    # multihost.fetch == np.asarray single-process; under --distributed it
+    # first replicates batches whose 'data' shards live on other hosts
+    # (a collective — hence fetched on every process, before the gate)
+    from ..parallel.multihost import fetch
+    grids = [(fetch(real), "Real"), (fetch(generated), "Generated"),
+             (fetch(generated_vae), "Generated VAE"),
+             (fetch(fake_var), "Fake var"),
+             (fetch(fake_vae_var), "Fake VAE var")]
+    if summary is None:
+        return
     viz = summary.visualize_video if ndim == 3 else summary.visualize_image
-    viz(cfg, iteration, np.asarray(real), "Real")
-    viz(cfg, iteration, np.asarray(generated), "Generated")
-    viz(cfg, iteration, np.asarray(generated_vae), "Generated VAE")
-    viz(cfg, iteration, np.asarray(fake_var), "Fake var")
-    viz(cfg, iteration, np.asarray(fake_vae_var), "Fake VAE var")
+    for arr, name in grids:
+        viz(cfg, iteration, arr, name)

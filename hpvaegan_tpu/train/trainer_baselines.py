@@ -60,16 +60,21 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
         # Conscious fix of a reference resume bug: the reference always warm
         # starts from the CURRENT experiment dir (train_video_baselines.py:
         # 46-48), which doesn't exist when resuming into a fresh experiment —
-        # fall back to the resume dir.
+        # fall back to the resume dir.  Multi-host: process 0 (the only
+        # writer) reads, then broadcasts into the fresh structure.
         import os
-        d_name = f"netD_{scale_idx - 1}"
-        directory = None
-        if not os.path.exists(os.path.join(saver.experiment_dir, d_name)) \
-                and getattr(cfg, "resume_dir", ""):
-            directory = cfg.resume_dir
-        dvars = saver.load_checkpoint(d_name,
-                                      target={"scale": 0, "dvars": dvars},
-                                      directory=directory)["dvars"]
+
+        from ..parallel import multihost
+        if multihost.is_primary():
+            d_name = f"netD_{scale_idx - 1}"
+            directory = None
+            if not os.path.exists(os.path.join(saver.experiment_dir, d_name)) \
+                    and getattr(cfg, "resume_dir", ""):
+                directory = cfg.resume_dir
+            dvars = saver.load_checkpoint(d_name,
+                                          target={"scale": 0, "dvars": dvars},
+                                          directory=directory)["dvars"]
+        dvars = multihost.broadcast_pytree(dvars)
     tx_d, opt_d = build_d_optimizer(cfg, dparams_view(dvars))
     if mid_raw is not None:
         opt_d = _fser.from_state_dict(opt_d, mid_raw["opt_d"])
@@ -197,19 +202,21 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                                        metrics["rec_loss"], iteration)
                     summary.add_scalar(f"{tag}/noise_amp", noise_amp,
                                        iteration)
-                if iteration % cfg.print_interval == 0:
-                    fake = dispatch("sample", gvars, noise_init, amps,
-                                    jax.random.fold_in(k_vis, 1))
-                    summary.visualize_video(cfg, iteration, np.asarray(real),
-                                            "Real")
-                    summary.visualize_video(cfg, iteration, np.asarray(fake),
-                                            "Fake")
-                    if cfg.alpha > 0:
-                        gen = dispatch("sample", gvars, cfg.Z_init, amps,
-                                       jax.random.fold_in(k_vis, 2),
-                                       mode="rec")
-                        summary.visualize_video(cfg, iteration,
-                                                np.asarray(gen), "Generated")
+            if cfg.visualize and iteration % cfg.print_interval == 0:
+                # dispatches + fetches run on EVERY process (collectives
+                # under --distributed); only the TB write is primary-only
+                from ..parallel.multihost import fetch
+                fake = dispatch("sample", gvars, noise_init, amps,
+                                jax.random.fold_in(k_vis, 1))
+                grids = [(fetch(real), "Real"), (fetch(fake), "Fake")]
+                if cfg.alpha > 0:
+                    gen = dispatch("sample", gvars, cfg.Z_init, amps,
+                                   jax.random.fold_in(k_vis, 2),
+                                   mode="rec")
+                    grids.append((fetch(gen), "Generated"))
+                if summary is not None:
+                    for arr, name in grids:
+                        summary.visualize_video(cfg, iteration, arr, name)
     except BaseException:
         watchdog.stop()  # checkpoint block below never runs on this path
         raise
@@ -236,6 +243,9 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
                                "opt_d": opt_d}, f"netD_{scale_idx}",
                               blocking=True)
         saver.wait()
+        # multi-host: lockstep at scale boundaries (see trainer.py)
+        from ..parallel.multihost import barrier
+        barrier(f"end_of_scale_{scale_idx}")
     finally:
         watchdog.stop()
     return gvars

@@ -63,7 +63,10 @@ class _StripColorFormatter(logging.Formatter):
         return _ANSI_RE.sub("", super().format(record))
 
 
-def configure_logging(logbook_path: str) -> None:
+def configure_logging(logbook_path) -> None:
+    """``logbook_path=None`` configures console-only logging — used by
+    non-primary processes under --distributed, which must not write into
+    the experiment tree (utils/saver.py multi-host rule)."""
     _ensure_logbook_level()
     root = logging.getLogger()
     root.setLevel(logging.INFO)
@@ -81,10 +84,11 @@ def configure_logging(logbook_path: str) -> None:
     console.addFilter(_SkipLogbookFilter())
     root.addHandler(console)
 
-    fileh = logging.FileHandler(logbook_path, mode="a")
-    fileh.setFormatter(_StripColorFormatter(
-        "%(asctime)s %(levelname)s %(message)s", datefmt="%H:%M:%S"))
-    root.addHandler(fileh)
+    if logbook_path is not None:
+        fileh = logging.FileHandler(logbook_path, mode="a")
+        fileh.setFormatter(_StripColorFormatter(
+            "%(asctime)s %(levelname)s %(message)s", datefmt="%H:%M:%S"))
+        root.addHandler(fileh)
 
 
 class LoggingBlock:

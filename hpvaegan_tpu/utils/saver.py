@@ -91,13 +91,17 @@ def apply_resume(cfg, G, gvars: Any, root_key=None) -> Any:
 
 def _to_host(tree: Any) -> Any:
     """Device -> host with retry: remote TPU transports can throw transient
-    errors on fetch (observed once through the axon relay)."""
+    errors on fetch (observed once through the axon relay).  Multi-host:
+    ``multihost.fetch`` first replicates any leaf whose shards span
+    non-addressable devices (e.g. the baselines' data-sharded Z_init)."""
     import time
+
+    from ..parallel import multihost
 
     def fetch(x):
         for attempt in range(3):
             try:
-                return np.asarray(x)
+                return multihost.fetch(x)
             except Exception:
                 if attempt == 2:
                     raise
@@ -110,17 +114,27 @@ class Saver:
     """Base saver: experiment dir management + pytree checkpoints."""
 
     def __init__(self, cfg, clip_name: str, run_id: Optional[int] = None):
+        from ..parallel import multihost
         self.cfg = cfg
+        # multi-host rule (SURVEY §5.8): only process 0 touches the
+        # experiment tree — non-primary processes keep the (agreed) paths
+        # for logging but every write below is a no-op, so a pod run can't
+        # race duplicate experiment_N dirs or corrupt checkpoints
+        self._primary = multihost.is_primary()
         self.directory = os.path.join(cfg.run_dir, clip_name, cfg.checkname)
         if run_id is None:
             runs = sorted(glob.glob(os.path.join(self.directory,
                                                  "experiment_*")))
             run_id = int(runs[-1].split("_")[-1]) + 1 if runs else 0
+            # process 0's auto-incremented id wins (its glob is the one
+            # that sees the authoritative tree)
+            run_id = multihost.agree(run_id)
         self.experiment_dir = os.path.join(self.directory,
                                            f"experiment_{run_id}")
-        os.makedirs(self.experiment_dir, exist_ok=True)
         self.eval_dir = os.path.join(self.experiment_dir, "eval")
-        os.makedirs(self.eval_dir, exist_ok=True)
+        if self._primary:
+            os.makedirs(self.experiment_dir, exist_ok=True)
+            os.makedirs(self.eval_dir, exist_ok=True)
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._pending: Optional[Future] = None
 
@@ -133,9 +147,16 @@ class Saver:
 
     def save_checkpoint(self, state: Any, filename: str,
                         blocking: bool = False) -> None:
-        """Serialize a pytree; by default the disk write is async."""
+        """Serialize a pytree; by default the disk write is async.
+        Multi-host: the device->host fetch runs on EVERY process (a leaf
+        sharded across processes is replicated by a collective inside
+        ``multihost.fetch`` — all processes must join it), but only
+        process 0 serializes and writes."""
+        host_state = _to_host(state)
+        if not self._primary:
+            return
         path = os.path.join(self.experiment_dir, filename)
-        payload = flax.serialization.to_bytes(_to_host(state))
+        payload = flax.serialization.to_bytes(host_state)
         self.wait()
         self._pending = self._pool.submit(self._write, payload, path)
         if blocking:
@@ -156,6 +177,8 @@ class Saver:
         return flax.serialization.from_bytes(target, data)
 
     def save_json(self, obj: Any, filename: str) -> None:
+        if not self._primary:
+            return
         with open(os.path.join(self.experiment_dir, filename), "w") as f:
             json.dump(obj, f)
 
@@ -187,6 +210,8 @@ class VideoSaver(Saver):
 
     def save_video(self, array: np.ndarray, filename: str,
                    fps: Optional[float] = None) -> None:
+        if not self._primary:
+            return
         write_video(array, os.path.join(self.eval_dir, filename),
                     fps if fps is not None else self.cfg.fps)
 
@@ -197,6 +222,8 @@ class ImageSaver(Saver):
         super().__init__(cfg, clip_name, run_id)
 
     def save_image(self, array: np.ndarray, filename: str) -> None:
+        if not self._primary:
+            return
         import cv2
         img = (np.asarray(array) + 1.0) * 127.5
         cv2.imwrite(os.path.join(self.eval_dir, filename),
