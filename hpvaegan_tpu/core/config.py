@@ -187,17 +187,18 @@ class Config:
         self.scale_factor = adj.scale_factor
         if self.stop_scale_time == -1:
             self.stop_scale_time = self.stop_scale
-        if self.spmd and (self.pconv or self.pconv_all or self.pfuse):
-            # pallas_call has no SPMD partitioning rule: under a sharded
-            # step XLA would all-gather the critic activations around the
-            # kernel, silently destroying the spatial sharding --spmd asks
-            # for.  The lax path partitions (halo exchange via XLA SPMD).
+        if self.spmd and self.pfuse:
+            # pallas_call has no SPMD partitioning rule.  --pconv composes
+            # with --spmd via the shard_map+halo wrapper (ops/pallas/
+            # conv3d_spmd.py, per-shard routing in models/blocks.py), but
+            # the fused conv-PAIR kernel would need a 2-row halo protocol
+            # and measured flat even single-chip (BENCHMARKS.md pfuse
+            # anti-result) — under a mesh it stays off.
             import logging
             logging.getLogger("hpvaegan_tpu").warning(
-                "--pconv is incompatible with --spmd (Pallas kernels don't "
-                "partition over the mesh); disabling pconv for this run")
-            self.pconv = False
-            self.pconv_all = False
+                "--pfuse is incompatible with --spmd (the conv-pair kernel "
+                "has no mesh partitioning); disabling pfuse for this run")
+            self.pfuse = False
             self.pfuse = False
 
 

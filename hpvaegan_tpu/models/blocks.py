@@ -117,6 +117,8 @@ class _PConv64(nn.Module):
     kernel_init: Any
     bias_init: Any
     dtype: Any = None
+    mesh: Any = None  # device mesh: route through the shard_map+halo
+    #                   composition (ops/pallas/conv3d_spmd.py) under --spmd
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -126,6 +128,9 @@ class _PConv64(nn.Module):
         bias = self.param("bias", self.bias_init, (64,))
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.mesh is not None:
+            from ..ops.pallas.conv3d_spmd import conv3d64_spmd
+            return conv3d64_spmd(x, kernel, bias, self.mesh)
         return conv3d64(x, kernel, bias)
 
 
@@ -143,6 +148,9 @@ class ConvND(nn.Module):
     dtype: Any = None        # compute dtype (None = f32)
     pconv: bool = False      # route qualifying 3D convs to the packed
     #                          Pallas kernel (ops/pallas/conv3d_pack.py)
+    mesh: Any = None         # device mesh under --spmd: the kernel runs
+    #                          per-shard via shard_map + H halo exchange
+    #                          (ops/pallas/conv3d_spmd.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -157,15 +165,25 @@ class ConvND(nn.Module):
                 and self.stride == 1 and self.padding == 1
                 and self.pad_mode == "zeros" and self.features == 64):
             from ..ops.pallas.conv3d_pack import pconv_ok, pconv_wins
-            if (pconv_ok(x.shape, (3, 3, 3, x.shape[-1], self.features),
-                         dtype=self.dtype)
-                    and pconv_wins(x.shape)):
+            from ..ops.pallas.conv3d_spmd import pconv_spmd_ok
+            w_shape = (3, 3, 3, x.shape[-1], self.features)
+            # under --spmd (mesh plumbed in by the step builder) the kernel
+            # must run per-shard via the shard_map+halo composition —
+            # falling through to lax (which XLA partitions itself) when the
+            # geometry doesn't shard evenly.  The plain kernel would force
+            # an all-gather of the sharded activations.
+            if ((self.mesh is None
+                 and pconv_ok(x.shape, w_shape, dtype=self.dtype))
+                or (self.mesh is not None
+                    and pconv_spmd_ok(x.shape, w_shape, self.mesh,
+                                      dtype=self.dtype))) \
+                    and pconv_wins(x.shape):
                 # identical variable tree to nn.Conv (name "conv",
                 # kernel/bias of the same shapes and inits) — checkpoints
                 # are interchangeable with the lax path
                 return _PConv64(kernel_init=kernel_init,
                                 bias_init=bias_init, dtype=self.dtype,
-                                name="conv")(x)
+                                mesh=self.mesh, name="conv")(x)
 
         if self.pad_mode == "reflect" and self.padding > 0:
             pad_width = ([(0, 0)] + [(self.padding, self.padding)] * self.ndim
@@ -211,12 +229,13 @@ class ConvBlock(nn.Module):
     init_mode: str = "torch"
     dtype: Any = None
     pconv: bool = False
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = ConvND(self.features, self.ker_size, self.padding, self.ndim,
                    self.stride, init_mode=self.init_mode, dtype=self.dtype,
-                   pconv=self.pconv)(x)
+                   pconv=self.pconv, mesh=self.mesh)(x)
         if self.use_norm:
             scale_init = (nn.initializers.ones if self.init_mode == "torch"
                           else n102_scale_init)
@@ -267,6 +286,7 @@ class SNConv(nn.Module):
     act: Optional[str] = "lrelu"
     dtype: Any = None
     pconv: bool = False
+    mesh: Any = None         # see ConvND.mesh
     defer: bool = False      # return (normalized kernel, bias) instead of
     #                          applying the conv — the fused conv-pair path
     #                          (models/networks.py WDiscriminator + ops/
@@ -307,10 +327,19 @@ class SNConv(nn.Module):
                 and self.features == 64):
             from ..ops.pallas.conv3d_pack import (conv3d64, pconv_ok,
                                                   pconv_wins)
-            if pconv_ok(x.shape, kernel_n.shape, dtype=self.dtype) \
+            from ..ops.pallas.conv3d_spmd import (conv3d64_spmd,
+                                                  pconv_spmd_ok)
+            if ((self.mesh is None
+                 and pconv_ok(x.shape, kernel_n.shape, dtype=self.dtype))
+                or (self.mesh is not None
+                    and pconv_spmd_ok(x.shape, kernel_n.shape, self.mesh,
+                                      dtype=self.dtype))) \
                     and pconv_wins(x.shape):
                 xq = x if self.dtype is None else x.astype(self.dtype)
-                y = conv3d64(xq, kernel_n, bias)
+                if self.mesh is not None:
+                    y = conv3d64_spmd(xq, kernel_n, bias, self.mesh)
+                else:
+                    y = conv3d64(xq, kernel_n, bias)
                 if self.act == "prelu":
                     return _PReLU(name="prelu")(y)
                 return activation(y, self.act)

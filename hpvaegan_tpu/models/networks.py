@@ -203,6 +203,7 @@ class Stage(nn.Module):
     ndim: int = 2
     dtype: Any = None
     pconv: bool = False
+    mesh: Any = None  # --spmd: shard_map+halo kernel routing (blocks.ConvND)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -213,10 +214,11 @@ class Stage(nn.Module):
         Block = nn.remat(ConvBlock, static_argnums=(2,)) if remat else ConvBlock
         Tail = nn.remat(ConvND) if remat else ConvND
         x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                  dtype=self.dtype, pconv=self.pconv, name="head")(x, train)
+                  dtype=self.dtype, pconv=self.pconv, mesh=self.mesh,
+                  name="head")(x, train)
         for i in range(self.num_layer):
             x = Block(self.nfc, self.ker_size, self.padd_size, self.ndim,
-                      dtype=self.dtype, pconv=self.pconv,
+                      dtype=self.dtype, pconv=self.pconv, mesh=self.mesh,
                       name=f"block{i}")(x, train)
         x = Tail(self.nc_im, self.ker_size, self.ker_size // 2, self.ndim,
                  dtype=self.dtype, name="tail")(x)
@@ -234,6 +236,7 @@ class WDiscriminator(nn.Module):
     ndim: int = 2
     dtype: Any = None
     pconv: bool = False
+    mesh: Any = None        # --spmd: shard_map+halo kernel routing
     pfuse: bool = False     # fuse consecutive body conv+lrelu PAIRS into
     #                         the multi-conv VMEM kernel (ops/pallas/
     #                         conv3d_fuse.py); odd trailing block falls
@@ -275,7 +278,7 @@ class WDiscriminator(nn.Module):
                 i += 2
             else:
                 x = SNC(self.nfc, self.ker_size, pad, self.ndim,
-                        dtype=self.dtype, pconv=self.pconv,
+                        dtype=self.dtype, pconv=self.pconv, mesh=self.mesh,
                         name=f"block{i}")(x)
                 i += 1
         x = Tail(1, self.ker_size, 1, self.ndim, dtype=self.dtype,

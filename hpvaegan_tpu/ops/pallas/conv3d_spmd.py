@@ -1,0 +1,126 @@
+"""SPMD composition of the packed Pallas conv (VERDICT r3 item 3).
+
+``pallas_call`` has no GSPMD partitioning rule, so before this module
+``--pconv`` and ``--spmd`` were mutually exclusive (config.py hard-disabled
+the kernels under a mesh) — on a pod, the scale-9 shapes forfeited the
+measured r2+r3 kernel win.  The standard composition is ``jax.shard_map``:
+run the kernel per-shard on explicitly local blocks and do the conv's
+cross-shard dependency — one H row of halo on each side — by hand with
+``lax.ppermute``.
+
+Design (mirrors how XLA SPMD itself partitions a SAME conv over H):
+
+* batch is sharded over the 'data' mesh axis (independent per-shard),
+  H over 'spatial';
+* each shard sends its bottom row up-ring and its top row down-ring
+  (``ppermute`` delivers ZEROS to the ring ends, which is exactly the
+  global SAME zero-padding), concatenates ``[halo_up, x, halo_dn]``,
+  runs the unmodified ``conv3d64`` kernel (SAME padding) on the
+  ``H/n + 2``-row block, and keeps the interior rows — identical to the
+  global conv because every kept output row sees only real neighbours;
+* the kernel's ``custom_vjp`` stays per-shard (dx re-enters the kernel,
+  dw the packed dw kernel); ``shard_map``'s transpose handles the
+  ppermute/concat/slice adjoints and inserts the cross-shard ``psum``
+  for the replicated-weight cotangent.  Gradient exactness vs the lax
+  path is asserted on the virtual mesh in tests/test_pconv_spmd.py.
+
+Gating: ``shard_map`` needs evenly divisible shards, so this path only
+takes over when B divides the 'data' axis and H the 'spatial' axis and
+the per-shard haloed block still passes ``pconv_ok``; the measured
+W %% 256 profitability gate (``pconv_wins``) applies to the UNSHARDED W
+(W is never sharded — parallel/mesh.batch_spec prefers H).  At the
+default 256px pyramid that is exactly the scale-9 shape class on any
+1/2/4-way spatial mesh (H=144).  Everything else falls back to the lax
+conv, which XLA partitions itself.
+
+The mesh reaches the conv modules as a flax field (``mesh=None`` by
+default) plumbed exactly like ``pconv``: the step builders
+(train/steps.py) clone the critic / generator stage template with the
+run's mesh, so routing is a pure function of module config + shape —
+no global state, and mesh-less builds of the same modules stay
+untouched.
+
+Reference op: ConvBlock3D conv, /root/reference/modules/networks_3d.py:48-56
+(the composition itself has no reference counterpart — the reference's
+only parallelism is single-process DataParallel, train_video.py:91-96).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .conv3d_pack import conv3d64, pconv_ok
+
+__all__ = ["conv3d64_spmd", "pconv_spmd_ok"]
+
+# mesh axis names — mirrors parallel/mesh.py (kept literal here so ops/
+# stays free of a parallel/ dependency cycle)
+_AXIS_DATA = "data"
+_AXIS_SPATIAL = "spatial"
+
+
+def _shard_counts(mesh: Mesh):
+    n_data = mesh.shape.get(_AXIS_DATA, 1)
+    n_sp = mesh.shape.get(_AXIS_SPATIAL, 1)
+    return n_data, n_sp
+
+
+def pconv_spmd_ok(x_shape, w_shape, mesh: Mesh, dtype=None) -> bool:
+    """Per-shard feasibility of the halo composition: even shards on both
+    mesh axes and the haloed local block still passes the kernel's own
+    shape/VMEM gate."""
+    if len(x_shape) != 5:
+        return False
+    B, T, H, W, C = x_shape
+    n_data, n_sp = _shard_counts(mesh)
+    if B % n_data != 0 or H % n_sp != 0:
+        return False
+    local = (B // n_data, T, H // n_sp + (2 if n_sp > 1 else 0), W, C)
+    return pconv_ok(local, w_shape, dtype=dtype)
+
+
+# test-only probe: bumped once per traced conv3d64_spmd call so
+# integration tests can assert the mesh routing actually engaged
+# (tests/test_pconv_spmd.py) — post-one-optimizer-step params can't
+# distinguish "kernel ran" from "lax fallback ran"
+_route_count = 0
+
+
+def conv3d64_spmd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                  mesh: Mesh) -> jnp.ndarray:
+    """``conv3d64`` partitioned over ``mesh``: x (B,T,H,W,64) sharded
+    (B->'data', H->'spatial'), w/b replicated.  Output sharded like x."""
+    global _route_count
+    _route_count += 1
+    n_data, n_sp = _shard_counts(mesh)
+    spec_parts = [None] * 5
+    if _AXIS_DATA in mesh.axis_names:
+        spec_parts[0] = _AXIS_DATA
+    if _AXIS_SPATIAL in mesh.axis_names:
+        spec_parts[2] = _AXIS_SPATIAL
+    xspec = P(*spec_parts)
+
+    if n_sp == 1:
+        def per_shard(xl, wl, bl):
+            return conv3d64(xl, wl, bl)
+    else:
+        fwd_ring = [(i, i + 1) for i in range(n_sp - 1)]
+        bwd_ring = [(i + 1, i) for i in range(n_sp - 1)]
+
+        def per_shard(xl, wl, bl):
+            # halo exchange on H: ring ends receive zeros == global SAME
+            # zero padding; interior shards their true neighbour rows
+            up = jax.lax.ppermute(xl[:, :, -1:], _AXIS_SPATIAL, fwd_ring)
+            dn = jax.lax.ppermute(xl[:, :, :1], _AXIS_SPATIAL, bwd_ring)
+            z = jnp.concatenate([up, xl, dn], axis=2)
+            # SAME conv on the haloed block; the two boundary output rows
+            # used the zero padding instead of the 2nd-neighbour rows, so
+            # only the interior is kept (it equals the global conv rows)
+            return conv3d64(z, wl, bl)[:, :, 1:-1]
+
+    return jax.shard_map(per_shard, mesh=mesh,
+                         in_specs=(xspec, P(), P()),
+                         out_specs=xspec, check_vma=False)(x, w, b)

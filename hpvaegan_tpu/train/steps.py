@@ -132,6 +132,16 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     # must not clobber an --spmd run's constraint anchoring.
     if mesh is not None or getattr(G, "mesh", None) is None:
         G.mesh = mesh
+    # --pconv composes with --spmd via the shard_map+halo kernel wrapper
+    # (ops/pallas/conv3d_spmd.py): plumb the mesh into the pconv-routed
+    # modules the same way pconv itself is plumbed — as a flax field
+    if mesh is not None:
+        if D is not None and getattr(D, "pconv", False):
+            D = D.clone(mesh=mesh)
+        stage_def = getattr(G, "stage_def", None)
+        if stage_def is not None and getattr(stage_def, "pconv", False) \
+                and getattr(stage_def, "mesh", None) is not mesh:
+            G.stage_def = stage_def.clone(mesh=mesh)
 
     rec_weight = cfg.rec_weight
     kl_weight = cfg.kl_weight

@@ -29,7 +29,8 @@ _SLOW_MODULES = {
     "test_device_cache", "test_svfid_cli", "test_remat", "test_serve",
     "test_fast_grads", "test_learning", "test_fused_forwards",
     "test_watchdog", "test_distributed", "test_oom_fallback",
-    "test_bench_guard", "test_save_interval",
+    "test_bench_guard", "test_save_interval", "test_multihost",
+    "test_pconv_spmd",
 }
 
 

@@ -132,15 +132,15 @@ def test_profitability_gate():
     assert cp.pconv_wins((2, 7, 162, 162, 64))
 
 
-def test_spmd_disables_pconv():
-    """--spmd + --pconv: the Pallas kernel has no SPMD partitioning rule,
-    so adjust_scales must drop pconv (with a warning) rather than let XLA
-    all-gather the critic activations around the pallas_call."""
+def test_spmd_keeps_pconv():
+    """--spmd + --pconv now compose via the shard_map halo wrapper
+    (ops/pallas/conv3d_spmd.py, tests/test_pconv_spmd.py) — adjust_scales
+    must no longer drop pconv under a mesh."""
     from hpvaegan_tpu.core.config import Config
 
     cfg = Config(spmd=True, mesh_shape="2x4", pconv=True, pconv_all=True)
     cfg.adjust_scales()
-    assert not cfg.pconv and not cfg.pconv_all
+    assert cfg.pconv and cfg.pconv_all
 
     cfg = Config(pconv=True)
     cfg.adjust_scales()
