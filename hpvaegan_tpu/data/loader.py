@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -19,48 +19,67 @@ __all__ = ["BatchLoader"]
 
 
 class BatchLoader:
-    """Infinite iterator over (real, real_zero) device batches."""
+    """Infinite iterator over (real, real_zero) device batches.
+
+    Every draw (shuffle order, hflip coins) is a PURE FUNCTION of
+    (seed, batch index) — the same (seed, iteration)-keyed construction as
+    the device cache (data/device_cache.py), so a mid-scale resume with
+    ``start_iteration`` consumes exactly the batches the uninterrupted run
+    would have (tests/test_noise_and_data.py::
+    test_loader_start_iteration_resumes_stream).
+    Epoch/shuffle/drop_last semantics match the reference DataLoader
+    (train_video.py:364-368): epoch e is permutation(n) under key
+    (seed, 'perm', e), consumed in full batches."""
 
     def __init__(self, dataset, batch_size: int, seed: int,
-                 scale_idx: int, prefetch: int = 2, device=None):
+                 scale_idx: int, prefetch: int = 2, device=None,
+                 start_iteration: int = 0):
         """``device`` may be a Device, a Sharding, or a callable
         (array -> placed array) applied to each batch element."""
         self.dataset = dataset
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
+        self._seed = int(seed)
         self.scale_idx = scale_idx
         self.device = device
+        self._it0 = int(start_iteration)
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def _index_stream(self) -> Iterator[np.ndarray]:
-        n = len(self.dataset)
-        if n <= 0:
-            raise ValueError(
-                "dataset is empty — for videos this means the clip has "
-                "<= fps_lcm frames (datasets/video.py:41-42 semantics)")
+    def _indices_for(self, it: int, n: int,
+                     perm_memo: dict) -> np.ndarray:
         if n < self.batch_size:
             # The reference's DataLoader(drop_last=True) would yield nothing
             # here and spin forever (train_video.py:112-115); we sample with
             # replacement instead so tiny --data-rep configs still train.
-            while True:
-                yield self.rng.integers(0, n, self.batch_size)
-        while True:
-            perm = self.rng.permutation(n)
-            # drop_last=True: only full batches
-            for start in range(0, n - self.batch_size + 1, self.batch_size):
-                yield perm[start:start + self.batch_size]
+            rng = np.random.default_rng([self._seed, 1, it])
+            return rng.integers(0, n, self.batch_size)
+        per_epoch = n // self.batch_size  # drop_last=True: full batches only
+        epoch, slot = divmod(it, per_epoch)
+        if perm_memo.get("epoch") != epoch:
+            perm_memo["epoch"] = epoch
+            perm_memo["perm"] = np.random.default_rng(
+                [self._seed, 2, epoch]).permutation(n)
+        start = slot * self.batch_size
+        return perm_memo["perm"][start:start + self.batch_size]
 
     def _worker(self) -> None:
         try:
-            stream = self._index_stream()
+            n = len(self.dataset)
+            if n <= 0:
+                raise ValueError(
+                    "dataset is empty — for videos this means the clip has "
+                    "<= fps_lcm frames (datasets/video.py:41-42 semantics)")
+            it = self._it0
+            perm_memo: dict = {}
             while not self._stop.is_set():
-                indices = next(stream)
-                real, real_zero = self.dataset.batch(self.rng, indices,
-                                                     self.scale_idx)
+                indices = self._indices_for(it, n, perm_memo)
+                real, real_zero = self.dataset.batch(
+                    np.random.default_rng([self._seed, 3, it]), indices,
+                    self.scale_idx)
+                it += 1
                 if callable(self.device):
                     batch = (self.device(real), self.device(real_zero))
                 else:

@@ -162,7 +162,8 @@ def train_scale(cfg, G, gvars: Dict[str, Any], dataset, saver, summary,
                              seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
                              scale_idx=scale_idx, device=place,
                              prefetch=max(2, int(getattr(cfg,
-                                                         "scan_steps", 1))))
+                                                         "scan_steps", 1))),
+                             start_iteration=start_it)
         gather = None
 
     def _rebuild():

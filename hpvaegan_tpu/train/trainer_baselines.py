@@ -120,7 +120,8 @@ def train_scale_baselines(cfg, G, gvars: Dict[str, Any], dataset, saver,
     else:
         loader = BatchLoader(dataset, cfg.batch_size,
                              seed=(cfg.manualSeed or 0) * 1000 + scale_idx,
-                             scale_idx=scale_idx, device=place)
+                             scale_idx=scale_idx, device=place,
+                             start_iteration=start_it)
     bar = create_progressbar(
         iterable=range(start_it, cfg.niter), initial=start_it,
         total=cfg.niter,

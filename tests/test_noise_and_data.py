@@ -113,6 +113,48 @@ def test_loader_batches_and_replacement():
     loader.close()
 
 
+def test_loader_start_iteration_resumes_stream():
+    """BatchLoader draws are a pure function of (seed, batch index): a
+    loader built with start_iteration=k yields exactly the batches the
+    uninterrupted loader yields from its k-th batch on — the host-loader
+    leg of the mid-scale resume guarantee (--save-interval), matching the
+    device cache's (seed, iteration)-keyed semantics."""
+    from hpvaegan_tpu.data import BatchLoader
+
+    cfg = _video_cfg()
+    cfg.hflip = True  # per-batch hflip coins must be iteration-keyed too
+    cfg.data_rep = 4  # len(ds) >= batch: exercises the epoch-perm path
+    from hpvaegan_tpu.data import SingleVideoDataset
+    ds = SingleVideoDataset(cfg)
+    ds.generate_frames(1)
+
+    full = BatchLoader(ds, batch_size=2, seed=7, scale_idx=1)
+    ref = [next(full) for _ in range(6)]
+    full.close()
+
+    resumed = BatchLoader(ds, batch_size=2, seed=7, scale_idx=1,
+                          start_iteration=3)
+    got = [next(resumed) for _ in range(3)]
+    resumed.close()
+    for (r, rz), (g, gz) in zip(ref[3:], got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+        np.testing.assert_array_equal(np.asarray(rz), np.asarray(gz))
+
+    # and the replacement path (len < batch) is keyed the same way
+    cfg2 = _video_cfg()
+    ds2 = SingleVideoDataset(cfg2)
+    ds2.generate_frames(0)
+    a = BatchLoader(ds2, batch_size=len(ds2) + 1, seed=3, scale_idx=0)
+    ra = [np.asarray(next(a)[0]) for _ in range(4)]
+    a.close()
+    b = BatchLoader(ds2, batch_size=len(ds2) + 1, seed=3, scale_idx=0,
+                    start_iteration=2)
+    rb = [np.asarray(next(b)[0]) for _ in range(2)]
+    b.close()
+    np.testing.assert_array_equal(ra[2], rb[0])
+    np.testing.assert_array_equal(ra[3], rb[1])
+
+
 def test_decode_ahead_prefetch_identical():
     """prefetch_frames + generate_frames yields the same frame store as a
     synchronous decode (--decode-ahead is pure overlap)."""
