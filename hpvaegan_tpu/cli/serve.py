@@ -24,8 +24,12 @@ Two transports share one request handler:
 Request fields (all optional): ``mode`` ("rand"|"rec", default rand),
 ``num_samples`` (default --num-samples), ``seed`` (int; default = a
 per-request counter folded into --manualSeed), ``prefix`` (output file
-name prefix, default the request id).  Responses carry the written file
-paths and the device latency.
+name prefix, default the request id), ``write`` (false = skip the sample
+files — streaming/throughput mode; the response carries shapes and
+timings only).  Responses carry the written file paths, the device
+latency (``device_ms``, the lock-held section) and the end-to-end
+``latency_ms`` including encode+write, which runs OUTSIDE the device
+lock so concurrent clients overlap encode with the next device batch.
 """
 import argparse
 import json
@@ -82,14 +86,28 @@ class Server:
         """Serve one request dict.  Never raises: bad requests come back
         ``{"ok": False, "client_error": True}``, server-side faults (disk,
         XLA/relay) ``{"ok": False, "client_error": False}`` — transports
-        map the flag to their status signalling (HTTP 400 vs 500)."""
+        map the flag to their status signalling (HTTP 400 vs 500).
+
+        Only the DEVICE work holds the lock: encoding/writing the sample
+        files happens in the calling transport thread afterwards, so under
+        concurrent clients the next request's device batch overlaps this
+        one's MJPG/PNG encode (measured: the encode is comparable to the
+        device latency at 256 px on this 1-core host —
+        benchmarks/serving_throughput.py)."""
         rid = req.get("id", None) if isinstance(req, dict) else None
         try:
             if not isinstance(req, dict):
                 raise ValueError(f"request must be a JSON object, "
                                  f"got {type(req).__name__}")
+            plan = self._parse(req, rid)
+            t0 = time.perf_counter()
             with self.lock:
-                return self._handle_locked(req, rid)
+                outs = self._device_batches(plan)
+            device_ms = (time.perf_counter() - t0) * 1e3
+            resp = self._finish(plan, outs, rid)
+            resp["device_ms"] = round(device_ms, 2)
+            resp["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+            return resp
         except (ValueError, TypeError, KeyError) as e:
             return {"id": rid, "ok": False, "client_error": True,
                     "error": f"{type(e).__name__}: {e}"}
@@ -98,15 +116,17 @@ class Server:
             return {"id": rid, "ok": False, "client_error": False,
                     "error": f"{type(e).__name__}: {e}"}
 
-    def _handle_locked(self, req: dict, rid) -> dict:
+    def _parse(self, req: dict, rid) -> dict:
         mode = req.get("mode", "rand")
         if mode not in ("rand", "rec"):
             raise ValueError(f"unknown mode {mode!r} (rand|rec)")
         num = int(req.get("num_samples", self.default_num))
         if not 1 <= num <= 4096:
             raise ValueError(f"num_samples {num} out of range [1, 4096]")
-        self.counter += 1
-        seq = self.counter
+        write = bool(req.get("write", True))
+        with self.lock:
+            self.counter += 1
+            seq = self.counter
         seed = req.get("seed", None)
         base_key = (jax.random.PRNGKey(int(seed)) if seed is not None
                     else jax.random.fold_in(
@@ -115,28 +135,47 @@ class Server:
                              f"req{seq}"))
         if os.path.sep in prefix or prefix in ("", ".", ".."):
             raise ValueError(f"bad prefix {prefix!r}")
+        return {"mode": mode, "num": num, "write": write,
+                "base_key": base_key, "prefix": prefix}
 
-        t0 = time.perf_counter()
-        paths = []
+    def _device_batches(self, plan: dict) -> list:
+        """The device-lock section: dispatch + fetch, no disk IO."""
+        outs = []
         produced = 0
         batch_idx = 0
-        while produced < num:
-            key = jax.random.fold_in(base_key, 1000 + batch_idx)
-            if mode == "rec":
+        while produced < plan["num"]:
+            key = jax.random.fold_in(plan["base_key"], 1000 + batch_idx)
+            if plan["mode"] == "rec":
                 out = self.sess.reconstruct_batch(key)
             else:
                 out = self.sess.sample_batch(key)
+            outs.append(out)
+            produced += out.shape[0]
+            batch_idx += 1
+        return outs
+
+    def _finish(self, plan: dict, outs: list, rid) -> dict:
+        """Post-lock: encode + write sample files (skipped for
+        ``"write": false`` throughput/streaming requests)."""
+        resp = {"id": rid, "ok": True, "mode": plan["mode"],
+                "num_samples": plan["num"]}
+        if not plan["write"]:
+            resp["paths"] = []
+            resp["sample_shape"] = list(outs[0].shape[1:])
+            return resp
+        paths = []
+        produced = 0
+        for out in outs:
             for b in range(out.shape[0]):
-                if produced >= num:
+                if produced >= plan["num"]:
                     break
                 paths.append(self.sess.write_sample(
                     out[b],
-                    os.path.join(self.out_dir, f"{prefix}_{produced}")))
+                    os.path.join(self.out_dir,
+                                 f"{plan['prefix']}_{produced}")))
                 produced += 1
-            batch_idx += 1
-        latency_ms = (time.perf_counter() - t0) * 1e3
-        return {"id": rid, "ok": True, "mode": mode, "paths": paths,
-                "latency_ms": round(latency_ms, 2)}
+        resp["paths"] = paths
+        return resp
 
 
 def serve_stdio(server: Server, in_stream, out_stream) -> None:
