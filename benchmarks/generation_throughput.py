@@ -23,6 +23,12 @@ cfg = Config(nfc=64, latent_dim=128, num_layer=5, enc_blocks=2,
              vae_levels=3, batch_size=2, img_size=256, min_size=32,
              max_size=256)
 cfg.bf16 = BF16
+# PCONV=1: route qualifying generator-stage body convs to the packed
+# Pallas kernel (pconv_all -> Stage pconv field).  Training measured this
+# routing slower (dw/VJP residual costs, BENCHMARKS.md) — sampling has no
+# backward pass, so the forward-only kernel gets its own A/B here.
+if __import__("os").environ.get("PCONV", "") == "1":
+    cfg.pconv_all = True
 cfg.adjust_scales()
 cfg.ar = 1.0
 from _geometry import make_pyramid, noise_init_shape  # noqa: E402

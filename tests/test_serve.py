@@ -78,6 +78,22 @@ def test_stdio_roundtrip(server):
         assert img is not None and img.shape == (16, 16, 3)
 
 
+def test_write_false_skips_files(server):
+    """"write": false must skip the sample files (throughput/streaming
+    mode) and still report device_ms + sample_shape; determinism with the
+    written variant under the same seed is covered by the shared key
+    derivation (seed -> base_key, independent of write)."""
+    ready, resp, bye = _roundtrip(
+        server, '{"id": "w0", "num_samples": 2, "seed": 5, "write": false}\n'
+                '{"shutdown": true}\n')
+    assert resp["ok"] and resp["paths"] == []
+    assert resp["sample_shape"] == [16, 16, 3]
+    assert resp["device_ms"] > 0
+    assert resp["latency_ms"] >= resp["device_ms"]
+    out_dir = server.out_dir
+    assert not any(f.startswith("w0_") for f in os.listdir(out_dir))
+
+
 def test_stdio_bad_requests_keep_serving(server):
     ready, bad_json, bad_mode, good = _roundtrip(
         server, 'not json\n'
