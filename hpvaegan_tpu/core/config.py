@@ -94,6 +94,15 @@ class Config:
     # ---- TPU-native extensions (not in the reference) ----
     bf16: bool = False             # bfloat16 conv compute, f32 params/accum
     fast_grads: bool = False       # differentiate trainable params only
+    hoist_prefix: bool = False     # with --fast-grads in the GAN phase:
+    #                                compute the frozen generator prefix
+    #                                (encoder/decoder + frozen stages) once
+    #                                and reuse the critic-step rand prefix
+    #                                in the generator step (gradient-exact).
+    #                                Measured a program-level no-op — XLA CSE
+    #                                already dedups the identical prefix
+    #                                inside the jitted step (BENCHMARKS.md
+    #                                anti-result) — so opt-in only.
     fused_forwards: bool = False   # batch rec+rand generator forwards
     wpack: bool = False            # width-packed convs at large scales
     pconv: bool = False            # packed-lane Pallas conv kernel (critic)
@@ -243,6 +252,13 @@ _COMMON_FLAGS = [
     (["--fast-grads"], dict(action="store_true", default=False, dest="fast_grads",
                             help="differentiate only trainable params (skips backward through "
                                  "frozen stages; clip norm covers trainable grads only)")),
+    (["--hoist-prefix"], dict(action="store_true", default=False,
+                              dest="hoist_prefix",
+                              help="with --fast-grads: compute the frozen "
+                                   "generator prefix once per GAN iteration "
+                                   "and reuse it across the critic/generator "
+                                   "steps (gradient-exact; measured a no-op "
+                                   "— XLA CSE already dedups it)")),
     (["--fused-forwards"], dict(action="store_true", default=False, dest="fused_forwards",
                                 help="batch the rec+rand generator forwards in the GAN step "
                                      "(BatchNorm stats over the combined batch)")),

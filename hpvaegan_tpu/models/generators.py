@@ -193,16 +193,60 @@ class GeneratorHPVAEGAN(_PyramidMixin):
         else:
             start_idx, x = 0, vae_out
 
-        x, new_body = self._refinement_layers(gvars["body"], start_idx, x,
-                                              amps, key, mode, train)
+        x, new_body, _ = self._refinement_layers(gvars["body"], start_idx, x,
+                                                 amps, key, mode, train)
         new_gvars["body"] = new_body
         return (x, vae_out, stats), new_gvars
 
+    def apply_prefix(self, gvars: Dict[str, Any], amps: jnp.ndarray,
+                     key: jax.Array,
+                     real_zero: Optional[jnp.ndarray] = None,
+                     noise_init: Optional[jnp.ndarray] = None,
+                     mode: str = "rec", train: bool = True, upto: int = 0):
+        """Forward through encoder/decoder + refinement stages [0, upto) —
+        the frozen prefix under --fast-grads (train/steps.py hoists it out
+        of the generator-step VJP and reuses the critic-step rand prefix).
+
+        Returns ((x, vae_out, stats, key), new_gvars): ``key`` is the
+        threaded PRNG state after the prefix's noise draws, so
+        ``apply_suffix`` continues the exact noise stream of the unsplit
+        ``apply`` (bit-identical fake)."""
+        new_gvars = dict(gvars)
+        key, k_rep = jax.random.split(key)
+
+        if noise_init is None:
+            assert real_zero is not None
+            mu, logvar = self.encoder.apply(gvars["encode"], real_zero)
+            z_vae = reparameterize(k_rep, mu, logvar, train)
+            stats = (mu, logvar)
+        else:
+            z_vae = noise_init
+            stats = None
+
+        vae_raw, new_gvars["decoder"] = _apply_bn_module(
+            self.decoder, gvars["decoder"], z_vae, train)
+        vae_out = jnp.tanh(vae_raw)
+
+        x, new_body, key = self._refinement_layers(
+            gvars["body"], 0, vae_out, amps, key, mode, train, stop=upto)
+        new_gvars["body"] = new_body
+        return (x, vae_out, stats, key), new_gvars
+
+    def apply_suffix(self, gvars: Dict[str, Any], amps: jnp.ndarray,
+                     key: jax.Array, x: jnp.ndarray, start_idx: int,
+                     mode: str = "rand", train: bool = True):
+        """Refinement stages [start_idx, len(body)) continuing from
+        ``apply_prefix`` (``key`` = the threaded state it returned)."""
+        x, new_body, _ = self._refinement_layers(gvars["body"], start_idx, x,
+                                                 amps, key, mode, train)
+        return x, {**gvars, "body": new_body}
+
     def _refinement_layers(self, body: Sequence[Dict[str, Any]],
                            start_idx: int, x: jnp.ndarray, amps: jnp.ndarray,
-                           key: jax.Array, mode: str, train: bool):
+                           key: jax.Array, mode: str, train: bool,
+                           stop: Optional[int] = None):
         new_body = list(body)
-        for idx in range(start_idx, len(body)):
+        for idx in range(start_idx, len(body) if stop is None else stop):
             if self.cfg.vae_levels == idx + 1 and not self.cfg.train_all:
                 x = jax.lax.stop_gradient(x)
             x_up = self._upscale(x, idx + 1)
@@ -218,7 +262,7 @@ class GeneratorHPVAEGAN(_PyramidMixin):
                                                 remat=_remat_level(self.cfg),
                                                 cfg=self.cfg)
             x = jnp.tanh(y + x_up)
-        return x, new_body
+        return x, new_body, key
 
     def apply_fused(self, gvars: Dict[str, Any], amps: jnp.ndarray,
                     key: jax.Array, real_zero: jnp.ndarray,
@@ -345,14 +389,15 @@ class GeneratorVAE_nb(_PyramidMixin):
         else:
             start_idx, x = 0, vae_out
 
-        x, new_body = self._refinement_layers(gvars["body"], start_idx, x,
-                                              amps, key, mode, train)
+        x, new_body, _ = self._refinement_layers(gvars["body"], start_idx, x,
+                                                 amps, key, mode, train)
         new_gvars["body"] = new_body
         return (x, vae_out, stats), new_gvars
 
-    def _refinement_layers(self, body, start_idx, x, amps, key, mode, train):
+    def _refinement_layers(self, body, start_idx, x, amps, key, mode, train,
+                           stop=None):
         new_body = list(body)
-        for idx in range(start_idx, len(body)):
+        for idx in range(start_idx, len(body) if stop is None else stop):
             if self.cfg.vae_levels == idx + 1:  # no train_all escape here
                 x = jax.lax.stop_gradient(x)
             x_up = self._upscale(x, idx + 1)
@@ -367,7 +412,7 @@ class GeneratorVAE_nb(_PyramidMixin):
                                                 remat=_remat_level(self.cfg),
                                                 cfg=self.cfg)
             x = jnp.tanh(y + x_up)
-        return x, new_body
+        return x, new_body, key
 
 
 class GeneratorCSG(_PyramidMixin):

@@ -155,6 +155,32 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
     # False | True (lax.map) | "unroll" — preserve the mode, not just truthiness
     use_chunked = getattr(cfg, "gp_chunked", False)
 
+    # Frozen-prefix hoist (--hoist-prefix with --fast-grads, GAN phase): when the
+    # encoder/decoder and a contiguous prefix of body stages are all frozen,
+    # the generator-step rand forward's prefix is value-identical to the
+    # critic-step fake's (same params + same key by construction,
+    # train_video.py:174-193's shared `fake`), and constant w.r.t. every
+    # trainable param — so it is computed ONCE per iteration instead of
+    # twice.  Gradients are bit-identical (prefix activations enter the VJP
+    # as constants either way).  Deviation: frozen-prefix BatchNorm running
+    # averages then see only the rec forward's update (training math never
+    # reads running stats — PARITY.md).
+    # Measured at the bench shape (scale-5 3D GAN, fast stack): flat — the
+    # compiled program is FLOP-identical with/without the hoist because XLA
+    # CSE already eliminates the duplicated frozen-prefix computation inside
+    # the single jitted step (BENCHMARKS.md "frozen-prefix hoist").  Kept as
+    # an opt-in for regimes where CSE might not fire.
+    hoist_idx = None
+    if use_fast and getattr(cfg, "hoist_prefix", False) \
+            and hasattr(G, "apply_prefix"):
+        ml_, bl_ = group_plan
+        trainable_body = [i for i, lab in enumerate(bl_) if lab != "frozen"]
+        if (all(lab == "frozen" for lab in ml_.values()) and trainable_body
+                and trainable_body[0] >= 1
+                and all(lab != "frozen"
+                        for lab in bl_[trainable_body[0]:])):
+            hoist_idx = trainable_body[0]
+
     def g_value_and_grad(gvars, loss_of_pview):
         """value_and_grad over the full params view, or — fast path — over
         the trainable subtree only, scattered back to full structure."""
@@ -250,10 +276,21 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
         # a resume — fall back to the unfused path for that shape combo.
         fusable = (use_fused
                    and noise_init.shape[1:-1] == real_zero.shape[1:-1])
+        x_pre_rand = key_sfx = None
         if fusable:
             (_, fake, _, _), _ = G.apply_fused(gvars, amps, k_fake,
                                                real_zero, noise_init,
                                                train=True)
+        elif hoist_idx is not None:
+            # split the fake forward at the frozen/trainable boundary so the
+            # prefix activation can be reused by the generator step below —
+            # the threaded key keeps the noise stream bit-identical to the
+            # unsplit G.apply
+            (x_pre_rand, _, _, key_sfx), _ = G.apply_prefix(
+                gvars, amps, k_fake, noise_init=noise_init, mode="rand",
+                train=True, upto=hoist_idx)
+            fake, _ = G.apply_suffix(gvars, amps, key_sfx, x_pre_rand,
+                                     hoist_idx, mode="rand", train=True)
         else:
             (fake, _, _), _ = G.apply(gvars, amps, k_fake,
                                       noise_init=noise_init, mode="rand",
@@ -302,6 +339,17 @@ def make_hpvaegan_steps(G, D, cfg, tx_g: optax.GradientTransformation,
             if fusable:
                 (generated, fake_g, _, _), gv2 = G.apply_fused(
                     gv, amps, k_fake, real_zero, noise_init, train=True)
+            elif hoist_idx is not None:
+                # frozen-prefix hoist: the rand forward's prefix is the
+                # critic step's x_pre_rand (identical values — same frozen
+                # params, same k_fake stream), entering this VJP as a
+                # constant exactly like the frozen params it came from
+                (generated, _, _), gv1 = G.apply(gv, amps, k_rec,
+                                                 real_zero=real_zero,
+                                                 mode="rec", train=True)
+                fake_g, gv2 = G.apply_suffix(gv1, amps, key_sfx, x_pre_rand,
+                                             hoist_idx, mode="rand",
+                                             train=True)
             else:
                 (generated, _, _), gv1 = G.apply(gv, amps, k_rec,
                                                  real_zero=real_zero,

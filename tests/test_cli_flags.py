@@ -16,7 +16,8 @@ REFERENCE = "/root/reference"
 
 # flags we add on top of the reference CLI (TPU-native extensions)
 EXTRA_ALLOWED = {
-    "--bf16", "--fast-grads", "--fused-forwards", "--mesh-shape", "--spmd",
+    "--bf16", "--fast-grads", "--hoist-prefix", "--fused-forwards",
+    "--mesh-shape", "--spmd",
     "--run-dir", "--profile-dir", "--scan-steps", "--distributed", "--help",
     "--remat", "--remat-blocks", "--gp-chunked",
     "--wpack", "--pconv", "--pconv-all", "--pfuse", "--host-loader",
