@@ -30,7 +30,7 @@ _SLOW_MODULES = {
     "test_fast_grads", "test_learning", "test_fused_forwards",
     "test_watchdog", "test_distributed", "test_oom_fallback",
     "test_bench_guard", "test_save_interval", "test_multihost",
-    "test_pconv_spmd",
+    "test_pconv_spmd", "test_hoist",
 }
 
 
