@@ -67,12 +67,25 @@ def main() -> None:
         by_op = defaultdict(float)       # ps
         cat_of_op = {}
         n_events = 0
+        async_ms = 0.0
+        serial_span_ms = 0.0
         for line in plane.lines:
-            # XLA device lanes: "XLA Ops" / "XLA Modules" / steps.  Only
-            # aggregate the op lane — module/step lanes double-count.
+            # XLA device lanes: "XLA Ops" is the serial execution lane;
+            # "Async XLA Ops" carries overlapped copies (VMEM prefetch /
+            # alternate-memory traffic) whose spans overlap compute —
+            # summing them into the table would double-count, so they are
+            # reported as one aggregate line instead.  Module/step lanes
+            # duplicate the op lane wholesale.
             lname = line.name.lower()
             if "module" in lname or "step" in lname:
                 continue
+            if "async" in lname:
+                async_ms += sum(e.duration_ps for e in line.events) / 1e9
+                continue
+            if line.events:
+                t0 = min(e.offset_ps for e in line.events)
+                t1 = max(e.offset_ps + e.duration_ps for e in line.events)
+                serial_span_ms = max(serial_span_ms, (t1 - t0) / 1e9)
             for ev in line.events:
                 md = ev_meta[ev.metadata_id]
                 name = md.name
@@ -97,7 +110,9 @@ def main() -> None:
             continue
         total = sum(by_cat.values())
         print(f"\nplane: {plane.name}  ({n_events} events, "
-              f"{total / 1e9:.1f} ms device-lane time)")
+              f"{total / 1e9:.1f} ms serial-lane busy over a "
+              f"{serial_span_ms:.1f} ms span; "
+              f"{async_ms:.1f} ms of overlapped async-copy spans)")
         print(f"{'category':<32}{'ms':>10}{'share':>8}")
         for cat, ps in sorted(by_cat.items(), key=lambda kv: -kv[1]):
             print(f"{cat:<32}{ps / 1e9:>10.1f}{ps / total:>8.1%}")
