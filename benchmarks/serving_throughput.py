@@ -52,7 +52,7 @@ def post(port: int, body: dict, timeout_s: float = 600.0) -> dict:
 
 
 def run_cell(port: int, mode: str, num_samples: int, concurrency: int,
-             write: bool, n_requests: int) -> dict:
+             write: bool, n_requests: int, seeded: bool = True) -> dict:
     lat, dev = [], []
     errors = []
     lock = threading.Lock()
@@ -65,8 +65,13 @@ def run_cell(port: int, mode: str, num_samples: int, concurrency: int,
                     return
                 i = idx[0]
                 idx[0] += 1
-            body = {"mode": mode, "num_samples": num_samples, "seed": i,
+            body = {"mode": mode, "num_samples": num_samples,
                     "write": write, "prefix": f"bench{i}"}
+            if seeded:
+                # seeded requests pin the sample stream but are excluded
+                # from --coalesce-ms batching by design; pass --unseeded
+                # to measure the coalescing path
+                body["seed"] = i
             t0 = time.perf_counter()
             try:
                 resp = post(port, body)
@@ -159,6 +164,9 @@ def main() -> None:
     p.add_argument("--port", type=int, default=18431)
     p.add_argument("--mode", type=str, default="rand")
     p.add_argument("--skip-stdio", action="store_true")
+    p.add_argument("--unseeded", action="store_true",
+                   help="omit per-request seeds (required for requests to "
+                        "qualify for --coalesce-ms batching)")
     args, extra = p.parse_known_args()
     args.extra = extra  # unrecognized flags pass through to serve.py
 
@@ -179,10 +187,12 @@ def main() -> None:
                              "write": write, "seed": 0, "prefix": "warm"})
             for c in conc:
                 cell = run_cell(args.port, args.mode, num_samples, c,
-                                write, args.requests)
+                                write, args.requests,
+                                seeded=not args.unseeded)
                 rows.append({"transport": "http",
                              "num_samples": num_samples, "write": write,
-                             "concurrency": c, **cell})
+                             "concurrency": c, "seeded": not args.unseeded,
+                             **cell})
                 print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
     finally:
         server.terminate()

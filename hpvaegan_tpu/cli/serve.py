@@ -30,6 +30,18 @@ timings only).  Responses carry the written file paths, the device
 latency (``device_ms``, the lock-held section) and the end-to-end
 ``latency_ms`` including encode+write, which runs OUTSIDE the device
 lock so concurrent clients overlap encode with the next device batch.
+
+``--coalesce-ms W`` adds a batched request scheduler: the jitted sampler
+runs a FIXED batch per dispatch, so a 1-sample request wastes the other
+slots and k concurrent 1-sample requests cost k serialized dispatches.
+With coalescing, UNSEEDED rand-mode requests queue into shared
+dispatches — a device worker packs up to ``--batch-size`` samples per
+dispatch (waiting at most W ms for co-travellers) and hands each request
+its slice.  All slots of one dispatch share one PRNG key, which is
+exactly the iid-draw semantics of a normal batch, and the server invents
+keys for unseeded requests anyway — no request-visible semantics change.
+Requests that pass an explicit ``seed`` (and all rec-mode requests)
+bypass the queue and keep their solo, bit-reproducible dispatch path.
 """
 import argparse
 import json
@@ -59,20 +71,138 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warm", type=str, default="rand",
                    help="comma-separated modes to pre-compile at startup "
                         "(rand,rec); empty to skip warmup")
+    p.add_argument("--coalesce-ms", type=float, default=0.0,
+                   help="batched request scheduler: pack unseeded rand "
+                        "requests into shared device dispatches, waiting "
+                        "up to this many ms to fill a batch (0 = off; "
+                        "seeded/rec requests always dispatch solo)")
     return p
+
+
+class CoalescingDispatcher:
+    """Cross-request micro-batching onto the fixed-batch device program.
+
+    One daemon worker owns the coalesced dispatches: transport threads
+    ``submit()`` an entry (``num`` samples wanted) and block; the worker
+    drains the queue in arrival order, packs up to ``capacity`` sample
+    slots per dispatch — waiting at most ``window_s`` for co-travellers
+    when a batch isn't full — runs ONE ``sample_batch`` under the
+    server's device lock, and distributes row slices back.  A request
+    larger than the capacity simply spans several dispatches.  Faults in
+    a dispatch fail only the requests packed into it; the worker
+    survives.
+    """
+
+    def __init__(self, sess, device_lock: threading.Lock,
+                 window_s: float, seed0: int):
+        self.sess = sess
+        self.device_lock = device_lock
+        self.window_s = window_s
+        self.capacity = sess.batch_size
+        self.cond = threading.Condition()
+        self.queue: list = []          # entries in arrival order
+        self.running = True
+        self.dispatches = 0            # observability + tests
+        self._key = jax.random.fold_in(jax.random.PRNGKey(seed0),
+                                       0x7fffffff)
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def submit(self, num: int) -> list:
+        """Block until ``num`` sample rows are produced; returns a list of
+        row arrays (chunks).  Raises the dispatch's exception on fault."""
+        entry = {"remaining": num, "chunks": [], "done": threading.Event(),
+                 "error": None}
+        with self.cond:
+            if not self.running:
+                raise RuntimeError("dispatcher closed")
+            self.queue.append(entry)
+            self.cond.notify_all()
+        entry["done"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        return entry["chunks"]
+
+    def close(self) -> None:
+        with self.cond:
+            self.running = False
+            self.cond.notify_all()
+        self.worker.join(timeout=10)
+
+    def _pack(self) -> list:
+        """Under self.cond: take (entry, take) pairs filling <= capacity
+        slots from the queue front."""
+        plan, fill = [], 0
+        for entry in self.queue:
+            take = min(entry["remaining"], self.capacity - fill)
+            if take > 0:
+                plan.append((entry, take))
+                fill += take
+            if fill == self.capacity:
+                break
+        return plan
+
+    def _run(self) -> None:
+        while True:
+            with self.cond:
+                while self.running and not self.queue:
+                    self.cond.wait()
+                if not self.running:
+                    for entry in self.queue:
+                        entry["error"] = RuntimeError("dispatcher closed")
+                        entry["done"].set()
+                    self.queue.clear()
+                    return
+                # under-full batch: linger up to the window for
+                # co-travellers (new arrivals notify the condition)
+                deadline = time.monotonic() + self.window_s
+                while (self.running
+                       and sum(e["remaining"] for e in self.queue)
+                       < self.capacity):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self.cond.wait(timeout=left)
+                plan = self._pack()
+                key = self._key = jax.random.fold_in(self._key, 1)
+            try:
+                with self.device_lock:
+                    out = self.sess.sample_batch(key)
+            except Exception as e:  # fail only this dispatch's requests
+                with self.cond:
+                    self.dispatches += 1
+                    for entry, _ in plan:
+                        if entry in self.queue:
+                            self.queue.remove(entry)
+                        entry["error"] = e
+                        entry["done"].set()
+                continue
+            with self.cond:
+                self.dispatches += 1
+                offset = 0
+                for entry, take in plan:
+                    entry["chunks"].append(out[offset:offset + take])
+                    offset += take
+                    entry["remaining"] -= take
+                    if entry["remaining"] == 0:
+                        self.queue.remove(entry)
+                        entry["done"].set()
 
 
 class Server:
     """Transport-agnostic request handler around a SamplerSession."""
 
     def __init__(self, sess: SamplerSession, out_dir: str,
-                 default_num: int, seed0: int):
+                 default_num: int, seed0: int, coalesce_ms: float = 0.0):
         self.sess = sess
         self.out_dir = out_dir
         self.default_num = default_num
         self.seed0 = seed0
         self.counter = 0
         self.lock = threading.Lock()  # serialize device work across threads
+        self.coalescer = (CoalescingDispatcher(sess, self.lock,
+                                               coalesce_ms / 1e3, seed0)
+                          if coalesce_ms > 0 else None)
         os.makedirs(out_dir, exist_ok=True)
 
     def info(self) -> dict:
@@ -80,6 +210,7 @@ class Server:
                 "scale": self.sess.scale,
                 "batch_size": self.sess.batch_size,
                 "generator": self.sess.cfg.generator,
+                "coalesce": self.coalescer is not None,
                 "output_dir": self.out_dir}
 
     def handle(self, req) -> dict:
@@ -101,8 +232,14 @@ class Server:
                                  f"got {type(req).__name__}")
             plan = self._parse(req, rid)
             t0 = time.perf_counter()
-            with self.lock:
-                outs = self._device_batches(plan)
+            if self.coalescer is not None and plan["coalesce"]:
+                # device_ms for a coalesced request spans queue wait +
+                # its shared dispatches (the per-request device cost is
+                # not separable once slots are shared)
+                outs = self.coalescer.submit(plan["num"])
+            else:
+                with self.lock:
+                    outs = self._device_batches(plan)
             device_ms = (time.perf_counter() - t0) * 1e3
             resp = self._finish(plan, outs, rid)
             resp["device_ms"] = round(device_ms, 2)
@@ -135,8 +272,10 @@ class Server:
                              f"req{seq}"))
         if os.path.sep in prefix or prefix in ("", ".", ".."):
             raise ValueError(f"bad prefix {prefix!r}")
+        # coalescible = the server was free to choose the key anyway
         return {"mode": mode, "num": num, "write": write,
-                "base_key": base_key, "prefix": prefix}
+                "base_key": base_key, "prefix": prefix,
+                "coalesce": mode == "rand" and seed is None}
 
     def _device_batches(self, plan: dict) -> list:
         """The device-lock section: dispatch + fetch, no disk IO."""
@@ -268,7 +407,7 @@ def main() -> None:
     out_dir = args.output_dir or os.path.join(os.path.dirname(cfg.netG),
                                               "serve")
     server = Server(sess, out_dir, default_num=args.num_samples,
-                    seed0=args.manualSeed)
+                    seed0=args.manualSeed, coalesce_ms=args.coalesce_ms)
 
     warm = [m.strip() for m in args.warm.split(",") if m.strip()]
     if warm:

@@ -160,6 +160,81 @@ def test_prefix_validation(server):
     assert not resp["ok"] and "prefix" in resp["error"]
 
 
+@pytest.fixture(scope="module")
+def cserver(server, tmp_path_factory):
+    """Coalescing variant sharing the module's SamplerSession (capacity =
+    batch_size = 2); generous window so concurrently-submitted requests
+    reliably share a dispatch on the 1-core CI host."""
+    from hpvaegan_tpu.cli.serve import Server
+    out = tmp_path_factory.mktemp("serve_out_coalesce")
+    srv = Server(server.sess, str(out), default_num=2, seed0=0,
+                 coalesce_ms=500.0)
+    yield srv
+    srv.coalescer.close()
+
+
+def test_coalesce_concurrent_singles_share_a_dispatch(cserver):
+    """Two concurrent unseeded 1-sample requests must pack into ONE
+    device dispatch (the scheduler's whole point)."""
+    before = cserver.coalescer.dispatches
+    resps = [None, None]
+
+    def go(i):
+        resps[i] = cserver.handle({"num_samples": 1, "prefix": f"co{i}"})
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None and r["ok"] for r in resps), resps
+    assert all(len(r["paths"]) == 1 for r in resps)
+    assert cserver.coalescer.dispatches == before + 1
+    imgs = [cv2.imread(r["paths"][0]).astype(np.int32) for r in resps]
+    assert np.abs(imgs[0] - imgs[1]).mean() > 0  # distinct slots
+
+
+def test_coalesce_large_request_spans_dispatches(cserver):
+    """num_samples > capacity rides several dispatches of the fixed-batch
+    program and still returns exactly num samples."""
+    before = cserver.coalescer.dispatches
+    resp = cserver.handle({"num_samples": 5, "prefix": "big"})
+    assert resp["ok"] and len(resp["paths"]) == 5
+    assert cserver.coalescer.dispatches == before + 3  # ceil(5/2)
+
+
+def test_coalesce_seeded_request_bypasses_queue(cserver, server):
+    """An explicit seed must keep the solo bit-reproducible path: same
+    sample bytes whether the server coalesces or not."""
+    before = cserver.coalescer.dispatches
+    a = cserver.handle({"num_samples": 1, "seed": 11, "prefix": "cs"})
+    b = server.handle({"num_samples": 1, "seed": 11, "prefix": "ns"})
+    assert a["ok"] and b["ok"]
+    assert cserver.coalescer.dispatches == before  # queue untouched
+    ia = cv2.imread(a["paths"][0]).astype(np.int32)
+    ib = cv2.imread(b["paths"][0]).astype(np.int32)
+    assert np.array_equal(ia, ib)
+
+
+def test_coalesce_fault_fails_request_not_worker(cserver):
+    """A dispatch fault answers the packed requests as server faults and
+    the worker keeps serving later requests."""
+    orig = cserver.sess.sample_batch
+
+    def boom(key):
+        raise OSError("hbm gone")
+
+    cserver.sess.sample_batch = boom
+    try:
+        resp = cserver.handle({"num_samples": 1, "prefix": "cf"})
+    finally:
+        cserver.sess.sample_batch = orig
+    assert not resp["ok"] and resp["client_error"] is False
+    assert "hbm gone" in resp["error"]
+    again = cserver.handle({"num_samples": 1, "prefix": "cf2"})
+    assert again["ok"] and len(again["paths"]) == 1
+
+
 def test_http_roundtrip(server):
     from hpvaegan_tpu.cli.serve import serve_http
 
