@@ -208,7 +208,6 @@ class Config:
                 "--pfuse is incompatible with --spmd (the conv-pair kernel "
                 "has no mesh partitioning); disabling pfuse for this run")
             self.pfuse = False
-            self.pfuse = False
 
 
 _COMMON_FLAGS = [
