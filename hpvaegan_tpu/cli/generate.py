@@ -53,6 +53,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="torch C3D Sports-1M checkpoint for --svfid")
     p.add_argument("--svfid-layer", type=str, default="conv3b",
                    help="C3D tap layer for --svfid (conv1..conv5b)")
+    p.add_argument("--sifid", action="store_true", default=False,
+                   help="SIFID of the samples vs the real image (2D only; "
+                        "SinGAN's metric, the 2D counterpart of --svfid). "
+                        "Pretrained InceptionV3 via --inception-weights / "
+                        "$INCEPTION_WEIGHTS; without weights a fixed-seed "
+                        "random stem is used (relative numbers only)")
+    p.add_argument("--inception-weights", type=str, default="",
+                   help="torchvision inception_v3 state dict for --sifid")
+    p.add_argument("--sifid-layer", type=str, default="pool1",
+                   help="Inception-stem tap for --sifid "
+                        "(Conv2d_1a_3x3/Conv2d_2a_3x3/Conv2d_2b_3x3/pool1)")
     p.add_argument("--manualSeed", type=int, default=0)
     # network/pyramid flags — must match training
     p.add_argument("--generator", type=str, default="GeneratorHPVAEGAN")
@@ -114,6 +125,8 @@ def main() -> None:
     ndim = 3 if cfg.video_path else 2
     if args.svfid and ndim != 3:
         raise ValueError("--svfid is a video metric (needs --video-path)")
+    if args.sifid and ndim != 2:
+        raise ValueError("--sifid is an image metric (needs --image-path)")
 
     sess = SamplerSession(cfg, batch_size=args.batch_size,
                           manual_seed=args.manualSeed, h_factor=args.h_factor,
@@ -140,6 +153,22 @@ def main() -> None:
                      feature_layer=args.svfid_layer)
         tag = "" if res["pretrained"] else " (RANDOM C3D — relative only)"
         logging.info(f"SVFID[{res['feature_layer']}]{tag}: "
+                     f"mean {res['mean']:.4f}  per-sample "
+                     f"{[round(s, 4) for s in res['per_sample']]}")
+
+    def report_sifid(samples):
+        """SIFID of generated images vs the real current-scale image.
+
+        Shapes need not match (feature statistics are per-position), so
+        this also works for extrapolated (--h/w-factor) samples.
+        """
+        from hpvaegan_tpu.eval import sifid as _sifid
+        real_cur, _ = dataset.get(0, scale, hflip=False)
+        res = _sifid(np.asarray(real_cur), samples,
+                     weights_path=args.inception_weights,
+                     tap=args.sifid_layer)
+        tag = "" if res["pretrained"] else " (RANDOM stem — relative only)"
+        logging.info(f"SIFID[{res['tap']}]{tag}: "
                      f"mean {res['mean']:.4f}  per-sample "
                      f"{[round(s, 4) for s in res['per_sample']]}")
 
@@ -181,6 +210,8 @@ def main() -> None:
                          f"{diversity_score(np.stack(injected)):.4f}")
         if args.svfid:
             report_svfid(injected)
+        if args.sifid:
+            report_sifid(injected)
         return
 
     real_top = None
@@ -216,6 +247,8 @@ def main() -> None:
             logging.info(f"sample diversity (mean pairwise L1): {val:.4f}")
     if args.svfid:
         report_svfid(all_samples)
+    if args.sifid:
+        report_sifid(all_samples)
 
 
 if __name__ == "__main__":
