@@ -184,13 +184,13 @@ def test_gan_step_pconv_spmd_matches_lax_step(key):
 
     # vs the UNSHARDED kernel step: isolates the shard_map+halo composition
     # (op-level exactness vs lax is test_forward/grads_match_lax above)
-    import hpvaegan_tpu.ops.pallas.conv3d_spmd as csp
+    from hpvaegan_tpu.ops.pallas.conv3d_spmd import route_probe
 
     ref = run(None, pconv=True)
-    before = csp._route_count
-    got = run(mesh, pconv=True)
-    assert csp._route_count > before, \
-        "mesh routing never engaged — the step fell back to lax"
+    routed = []
+    with route_probe(lambda: routed.append(1)):
+        got = run(mesh, pconv=True)
+    assert routed, "mesh routing never engaged — the step fell back to lax"
 
     # losses are pre-optimizer (pure functions of the critic): fp-noise-only
     # agreement.  A halo bug corrupts boundary rows and moves these at O(%)
