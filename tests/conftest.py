@@ -26,7 +26,8 @@ import pytest  # noqa: E402
 _SLOW_MODULES = {
     "test_train_e2e", "test_train_video_e2e", "test_precompile",
     "test_sharding", "test_pconv", "test_pfuse", "test_wpack",
-    "test_device_cache", "test_svfid_cli", "test_remat", "test_serve",
+    "test_device_cache", "test_svfid_cli", "test_sifid_cli", "test_remat",
+    "test_serve",
     "test_fast_grads", "test_learning", "test_fused_forwards",
     "test_watchdog", "test_distributed", "test_oom_fallback",
     "test_bench_guard", "test_save_interval", "test_multihost",
