@@ -272,10 +272,19 @@ class Server:
                              f"req{seq}"))
         if os.path.sep in prefix or prefix in ("", ".", ".."):
             raise ValueError(f"bad prefix {prefix!r}")
-        # coalescible = the server was free to choose the key anyway
+        # coalescible = the server was free to choose the key anyway.
+        # Exact-multiple-of-capacity requests bypass the queue: they have
+        # no waste slots to reclaim, and FIFO slot-packing would SPLIT
+        # them across dispatches whenever arrivals interleave — measured
+        # 1.5x slower at the batch-8 full-batch 8-client cell
+        # (2.45 -> 1.66 req/s, BENCHMARKS.md r5 serving table) with zero
+        # packing upside.  Partial-batch requests (incl. num > capacity
+        # with a remainder) keep the queue path, where packing wins 3.1x.
+        cap = self.coalescer.capacity if self.coalescer is not None else 0
         return {"mode": mode, "num": num, "write": write,
                 "base_key": base_key, "prefix": prefix,
-                "coalesce": mode == "rand" and seed is None}
+                "coalesce": (mode == "rand" and seed is None
+                             and not (cap and num % cap == 0))}
 
     def _device_batches(self, plan: dict) -> list:
         """The device-lock section: dispatch + fetch, no disk IO."""

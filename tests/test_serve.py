@@ -195,12 +195,23 @@ def test_coalesce_concurrent_singles_share_a_dispatch(cserver):
 
 
 def test_coalesce_large_request_spans_dispatches(cserver):
-    """num_samples > capacity rides several dispatches of the fixed-batch
-    program and still returns exactly num samples."""
+    """num_samples > capacity (with a remainder) rides several dispatches
+    of the fixed-batch program and still returns exactly num samples."""
     before = cserver.coalescer.dispatches
     resp = cserver.handle({"num_samples": 5, "prefix": "big"})
     assert resp["ok"] and len(resp["paths"]) == 5
     assert cserver.coalescer.dispatches == before + 3  # ceil(5/2)
+
+
+def test_coalesce_exact_multiple_bypasses_queue(cserver):
+    """num_samples that exactly fills whole dispatches (num %% capacity
+    == 0) has no waste slots to reclaim — it must take the solo path so
+    FIFO packing can't split it across interleaved dispatches (measured
+    1.5x slower at the batch-8 full-batch cell, BENCHMARKS.md r5)."""
+    before = cserver.coalescer.dispatches
+    resp = cserver.handle({"num_samples": 4, "prefix": "full"})
+    assert resp["ok"] and len(resp["paths"]) == 4
+    assert cserver.coalescer.dispatches == before  # queue untouched
 
 
 def test_coalesce_seeded_request_bypasses_queue(cserver, server):
