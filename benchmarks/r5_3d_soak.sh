@@ -21,7 +21,7 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   if python train_video.py --video-path data/vids/wingsuit.avi \
       --img-size 256 --niter "$NITER" --fast-grads --bf16 \
       --scan-steps 10 --pconv --watchdog 1500 --save-interval 1000 \
-      --manualSeed 42 --checkname "$CHECK"; then
+      --manualSeed 42 --checkname "$CHECK" $resume; then
     echo "R5_3D_SOAK_DONE"
     exit 0
   fi
