@@ -23,13 +23,13 @@ train_with_retry() { # $1 = niter
                | sort -V | tail -1)/netG_mid"
     [ -f "$midckpt" ] && resume="--netG $midckpt"
     echo "== train $CHECK attempt $attempt ${resume:+(resume)} =="
-    if python train_image.py --image-path "$IMG" --img-size 248 \
+    python train_image.py --image-path "$IMG" --img-size 248 \
         --niter "$NITER" --fast-grads --bf16 --scan-steps 10 \
         --watchdog 900 --save-interval 1000 --manualSeed 42 \
-        --checkname "$CHECK" $resume; then
-      return 0
-    fi
-    echo "== train $CHECK attempt $attempt FAILED (rc=$?) =="
+        --checkname "$CHECK" $resume
+    rc=$?
+    [ "$rc" -eq 0 ] && return 0
+    echo "== train $CHECK attempt $attempt FAILED (rc=$rc) =="
     sleep 20
   done
   return 1

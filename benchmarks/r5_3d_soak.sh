@@ -18,14 +18,16 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
              | sort -V | tail -1)/netG_mid"
   [ -f "$midckpt" ] && resume="--netG $midckpt"
   echo "== train $CHECK attempt $attempt ${resume:+(resume $midckpt)} =="
-  if python train_video.py --video-path data/vids/wingsuit.avi \
+  python train_video.py --video-path data/vids/wingsuit.avi \
       --img-size 256 --niter "$NITER" --fast-grads --bf16 \
       --scan-steps 10 --pconv --watchdog 1500 --save-interval 1000 \
-      --manualSeed 42 --checkname "$CHECK" $resume; then
+      --manualSeed 42 --checkname "$CHECK" $resume
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
     echo "R5_3D_SOAK_DONE"
     exit 0
   fi
-  echo "== train $CHECK attempt $attempt FAILED (rc=$?) =="
+  echo "== train $CHECK attempt $attempt FAILED (rc=$rc) =="
   sleep 30
 done
 echo "R5_3D_SOAK_GAVE_UP"
